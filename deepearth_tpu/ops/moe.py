@@ -1,0 +1,155 @@
+"""Mixture-of-experts routing and static-shape dispatch for TPU.
+
+Gating reproduces DeepSeek-V3's sigmoid, group-limited, bias-corrected top-k
+("noaux_tc", reference: encoders/modeling_deepseek.py:393-473). Dispatch
+replaces the reference's data-dependent sort + variable-split all_to_all
+(reference: encoders/modeling_deepseek.py:534-608, inference-only) with the
+capacity-factor dense einsum formulation: static shapes, MXU-friendly, and
+trivially shardable over an ``expert`` mesh axis (XLA SPMD inserts the
+all-to-alls). Unlike the reference, this path is differentiable end-to-end —
+the reference never shipped a training-mode MoE.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GateResult(NamedTuple):
+    topk_idx: jnp.ndarray  # (N, K) int32
+    topk_weight: jnp.ndarray  # (N, K) float32
+    scores: jnp.ndarray  # (N, E) float32 sigmoid scores (pre-bias)
+
+
+def moe_gate(
+    logits: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    top_k: int,
+    n_group: int,
+    topk_group: int,
+    norm_topk_prob: bool,
+    routed_scaling_factor: float,
+) -> GateResult:
+    """Sigmoid group-limited top-k gate.
+
+    Args:
+        logits: (N, E) float32 router logits (x @ W_g^T).
+        bias: (E,) expert-score correction bias (load balancing without an
+            aux loss; gradients through selection flow via the weights only,
+            matching the reference where bias affects *choice* but the weight
+            is the raw sigmoid score).
+    """
+    n, e = logits.shape
+    scores = jax.nn.sigmoid(logits.astype(jnp.float32))
+    scores_for_choice = scores + bias[None, :].astype(jnp.float32)
+
+    if n_group > 1:
+        grouped = scores_for_choice.reshape(n, n_group, e // n_group)
+        top2 = jax.lax.top_k(grouped, min(2, e // n_group))[0]
+        group_scores = top2.sum(axis=-1)  # (N, G)
+        _, group_idx = jax.lax.top_k(group_scores, topk_group)
+        group_mask = (
+            jnp.zeros((n, n_group), bool)
+            .at[jnp.arange(n)[:, None], group_idx]
+            .set(True)
+        )
+        score_mask = jnp.repeat(group_mask, e // n_group, axis=1)  # (N, E)
+        masked = jnp.where(score_mask, scores_for_choice, -jnp.inf)
+    else:
+        masked = scores_for_choice
+
+    _, topk_idx = jax.lax.top_k(masked, top_k)
+    topk_weight = jnp.take_along_axis(scores, topk_idx, axis=1)
+
+    if top_k > 1 and norm_topk_prob:
+        topk_weight = topk_weight / (topk_weight.sum(axis=-1, keepdims=True) + 1e-20)
+    topk_weight = topk_weight * routed_scaling_factor
+    return GateResult(topk_idx.astype(jnp.int32), topk_weight, scores)
+
+
+def make_dispatch_combine(
+    topk_idx: jnp.ndarray,
+    topk_weight: jnp.ndarray,
+    *,
+    n_experts: int,
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Build static-shape dispatch/combine tensors (GShard formulation).
+
+    Tokens beyond an expert's capacity are dropped for that expert (their
+    combine weight is zero). Rank-0 choices of all tokens get priority over
+    rank-1 choices, etc.
+
+    Args:
+        topk_idx: (N, K) expert choice per token.
+        topk_weight: (N, K) gate weight per choice.
+
+    Returns:
+        dispatch: (N, E, C) float32 in {0, 1}
+        combine:  (N, E, C) float32 (dispatch * gate weight)
+        load:     (E,) float32 tokens assigned per expert (pre-capacity)
+    """
+    n, k = topk_idx.shape
+    # (K, N, E): k-major so lower-rank choices win capacity first.
+    expert_onehot = jax.nn.one_hot(
+        topk_idx.T, n_experts, dtype=jnp.float32
+    )  # (K, N, E)
+    flat = expert_onehot.reshape(k * n, n_experts)
+    # Position of each assignment within its expert queue.
+    pos = jnp.cumsum(flat, axis=0) - flat  # (K*N, E)
+    within_cap = (pos < capacity) & (flat > 0)
+    pos_capped = jnp.where(within_cap, pos, 0).astype(jnp.int32)
+    cap_onehot = jax.nn.one_hot(pos_capped.sum(axis=-1), capacity, dtype=jnp.float32)
+    # dispatch_{(k n), e, c} = within_cap * onehot(position)
+    disp_flat = (
+        within_cap.astype(jnp.float32)[:, :, None] * cap_onehot[:, None, :]
+    )  # (K*N, E, C)
+    disp = disp_flat.reshape(k, n, n_experts, capacity)
+    dispatch = disp.sum(axis=0)  # (N, E, C) — each token occupies ≤K slots
+    combine = jnp.einsum(
+        "knec,nk->nec", disp, topk_weight.astype(jnp.float32)
+    )
+    load = flat.sum(axis=0)
+    return dispatch, combine, load
+
+
+def expert_ffn(
+    expert_in: jnp.ndarray,
+    w_gate: jnp.ndarray,
+    w_up: jnp.ndarray,
+    w_down: jnp.ndarray,
+) -> jnp.ndarray:
+    """Batched SwiGLU expert MLPs (reference: encoders/modeling_deepseek.py:374-390).
+
+    Args:
+        expert_in: (E, C, D)
+        w_gate, w_up: (E, D, F)
+        w_down: (E, F, D)
+    Returns:
+        (E, C, D)
+    """
+    gate = jnp.einsum(
+        "ecd,edf->ecf", expert_in, w_gate, preferred_element_type=jnp.float32
+    )
+    up = jnp.einsum(
+        "ecd,edf->ecf", expert_in, w_up, preferred_element_type=jnp.float32
+    )
+    h = (jax.nn.silu(gate) * up).astype(expert_in.dtype)
+    return jnp.einsum(
+        "ecf,efd->ecd", h, w_down, preferred_element_type=jnp.float32
+    ).astype(expert_in.dtype)
+
+
+def load_balance_aux_loss(
+    scores: jnp.ndarray, topk_idx: jnp.ndarray, n_experts: int
+) -> jnp.ndarray:
+    """Switch-style load-balance loss: E * sum_e f_e * P_e."""
+    n = scores.shape[0]
+    mask = jax.nn.one_hot(topk_idx, n_experts, dtype=jnp.float32).sum(axis=1)
+    f = mask.mean(axis=0)  # fraction routed per expert
+    p = (scores / (scores.sum(-1, keepdims=True) + 1e-20)).mean(axis=0)
+    return n_experts * jnp.sum(f * p)

@@ -1,0 +1,275 @@
+"""Tests for RoPE, attention core, RMSNorm, and MoE routing — including
+parity checks against the reference's torch formulations (re-implemented
+inline, not imported)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepearth_tpu.configs import RopeScalingConfig
+from deepearth_tpu.ops import (
+    RMSNorm,
+    apply_rope_deepseek,
+    apply_rope_half,
+    apply_rope_interleaved,
+    dot_product_attention,
+    expert_ffn,
+    load_balance_aux_loss,
+    make_dispatch_combine,
+    moe_gate,
+    rope_cos_sin,
+)
+
+torch = pytest.importorskip("torch")
+
+
+class TestRope:
+    def test_interleaved_matches_complex_formulation(self):
+        """A-stack parity (models/transformers.py:57-71): complex multiply."""
+        B, H, N, D = 2, 3, 8, 16
+        x = np.random.default_rng(0).standard_normal((B, H, N, D)).astype(np.float32)
+        cos, sin = rope_cos_sin(N, D, layout="interleaved")
+        got = np.asarray(apply_rope_interleaved(jnp.asarray(x), cos, sin))
+
+        xt = torch.tensor(x).reshape(B, H, N, D // 2, 2)
+        xc = torch.view_as_complex(xt)
+        freqs = 1.0 / (10000 ** (torch.arange(0, D, 2).float() / D))
+        t = torch.arange(N).float()
+        fr = torch.outer(t, freqs)
+        freqs_cis = torch.polar(torch.ones_like(fr), fr)
+        expected = torch.view_as_real(xc * freqs_cis).reshape(B, H, N, D).numpy()
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=2e-5)
+
+    def test_half_matches_rotate_half_formulation(self):
+        """Fusion-stack parity (models/cross_modal_fusion.py:81-96)."""
+        B, H, N, D = 2, 2, 6, 8
+        x = np.random.default_rng(1).standard_normal((B, H, N, D)).astype(np.float32)
+        cos, sin = rope_cos_sin(N, D, layout="half")
+        got = np.asarray(apply_rope_half(jnp.asarray(x), cos, sin))
+
+        inv = 1.0 / (10000 ** (torch.arange(0, D, 2).float() / D))
+        fr = torch.outer(torch.arange(N).float(), inv)
+        emb = torch.cat((fr, fr), dim=-1)
+        c, s = emb.cos(), emb.sin()
+        xt = torch.tensor(x)
+        x1, x2 = xt[..., : D // 2], xt[..., D // 2 :]
+        rot = torch.cat((-x2, x1), dim=-1)
+        expected = (xt * c + rot * s).numpy()
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=2e-5)
+
+    def test_deepseek_variant_deinterleaves(self):
+        """MLA parity (modeling_deepseek.py:360-371): view/transpose trick."""
+        B, H, N, D = 1, 2, 4, 8
+        x = np.random.default_rng(2).standard_normal((B, H, N, D)).astype(np.float32)
+        cos, sin = rope_cos_sin(N, D, layout="half")
+        got = np.asarray(apply_rope_deepseek(jnp.asarray(x), cos, sin))
+
+        xt = torch.tensor(x)
+        b, h, s_, d = xt.shape
+        xt = xt.view(b, h, s_, d // 2, 2).transpose(4, 3).reshape(b, h, s_, d)
+        inv = 1.0 / (10000 ** (torch.arange(0, D, 2).float() / D))
+        fr = torch.outer(torch.arange(N).float(), inv)
+        emb = torch.cat((fr, fr), dim=-1)
+        x1, x2 = xt[..., : D // 2], xt[..., D // 2 :]
+        rot = torch.cat((-x2, x1), dim=-1)
+        expected = (xt * emb.cos() + rot * emb.sin()).numpy()
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=2e-5)
+
+    def test_yarn_scaling_applies_mscale(self):
+        cfg = RopeScalingConfig(
+            type="yarn", factor=4.0, original_max_position_embeddings=16,
+            mscale=1.0, mscale_all_dim=0.0,
+        )
+        cos_plain, _ = rope_cos_sin(8, 16)
+        cos_yarn, _ = rope_cos_sin(8, 16, scaling=cfg)
+        ms = 0.1 * 1.0 * np.log(4.0) + 1.0
+        np.testing.assert_allclose(np.asarray(cos_yarn[0, 0]), ms, rtol=1e-6)
+        assert not np.allclose(np.asarray(cos_plain), np.asarray(cos_yarn))
+
+    def test_dynamic_ntk_only_kicks_in_past_window(self):
+        cfg = RopeScalingConfig(type="dynamic", factor=2.0,
+                                original_max_position_embeddings=32)
+        c_short, _ = rope_cos_sin(16, 8, scaling=cfg)
+        c_plain, _ = rope_cos_sin(16, 8)
+        np.testing.assert_allclose(np.asarray(c_short), np.asarray(c_plain))
+        c_long, _ = rope_cos_sin(64, 8, scaling=cfg)
+        c_plain_long, _ = rope_cos_sin(64, 8)
+        assert not np.allclose(np.asarray(c_long), np.asarray(c_plain_long))
+
+    def test_linear_scaling_divides_positions(self):
+        cfg = RopeScalingConfig(type="linear", factor=2.0)
+        c2, s2 = rope_cos_sin(8, 8, scaling=cfg)
+        c1, s1 = rope_cos_sin(4, 8)
+        # scaled index 2j sits at unscaled position j
+        np.testing.assert_allclose(np.asarray(c2[::2]), np.asarray(c1), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(s2[::2]), np.asarray(s1), atol=1e-6)
+
+
+class TestAttention:
+    def test_matches_torch_sdpa(self):
+        B, H, N, D = 2, 4, 10, 16
+        rng = np.random.default_rng(3)
+        q, k, v = (rng.standard_normal((B, H, N, D)).astype(np.float32) for _ in range(3))
+        scale = D ** -0.5
+        got = np.asarray(
+            dot_product_attention(
+                jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale=scale
+            )
+        )
+        qt, kt, vt = (torch.tensor(a) for a in (q, k, v))
+        expected = torch.nn.functional.scaled_dot_product_attention(
+            qt, kt, vt, scale=scale
+        ).numpy()
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=1e-5)
+
+    def test_key_mask(self):
+        B, H, N, D = 1, 1, 4, 8
+        rng = np.random.default_rng(4)
+        q, k, v = (rng.standard_normal((B, H, N, D)).astype(np.float32) for _ in range(3))
+        mask = jnp.array([[True, True, False, False]])
+        out = dot_product_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            scale=D ** -0.5, key_mask=mask,
+        )
+        # masked keys contribute nothing: recompute with only first two keys
+        out2 = dot_product_attention(
+            jnp.asarray(q), jnp.asarray(k[:, :, :2]), jnp.asarray(v[:, :, :2]),
+            scale=D ** -0.5,
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-5, atol=1e-6)
+
+    def test_causal(self):
+        B, H, N, D = 1, 1, 5, 4
+        rng = np.random.default_rng(5)
+        q, k, v = (rng.standard_normal((B, H, N, D)).astype(np.float32) for _ in range(3))
+        out = dot_product_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            scale=D ** -0.5, is_causal=True,
+        )
+        qt, kt, vt = (torch.tensor(a) for a in (q, k, v))
+        expected = torch.nn.functional.scaled_dot_product_attention(
+            qt, kt, vt, scale=D ** -0.5, is_causal=True
+        ).numpy()
+        np.testing.assert_allclose(np.asarray(out), expected, rtol=1e-4, atol=1e-5)
+
+    def test_fully_masked_row_is_finite(self):
+        B, H, N, D = 1, 1, 3, 4
+        q = jnp.ones((B, H, N, D))
+        mask = jnp.zeros((B, N), dtype=bool)
+        out = dot_product_attention(q, q, q, scale=1.0, key_mask=mask)
+        assert np.isfinite(np.asarray(out)).all()
+
+
+class TestRMSNorm:
+    def test_matches_torch_reference(self):
+        x = np.random.default_rng(6).standard_normal((4, 16)).astype(np.float32)
+        mod = RMSNorm(eps=1e-6)
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        got = np.asarray(mod.apply(params, jnp.asarray(x)))
+        xt = torch.tensor(x)
+        var = xt.pow(2).mean(-1, keepdim=True)
+        expected = (xt * torch.rsqrt(var + 1e-6)).numpy()
+        np.testing.assert_allclose(got, expected, rtol=1e-4, atol=2e-5)
+
+
+class TestMoEGate:
+    def _torch_reference_gate(self, logits, bias, top_k, n_group, topk_group,
+                              norm_topk_prob, scaling):
+        """Inline re-implementation of MoEGate.forward
+        (modeling_deepseek.py:422-473)."""
+        scores = torch.tensor(logits).sigmoid()
+        n, e = scores.shape
+        sfc = scores + torch.tensor(bias).unsqueeze(0)
+        group_scores = sfc.view(n, n_group, -1).topk(min(2, e // n_group), dim=-1)[0].sum(dim=-1)
+        group_idx = torch.topk(group_scores, k=topk_group, dim=-1, sorted=False)[1]
+        group_mask = torch.zeros_like(group_scores)
+        group_mask.scatter_(1, group_idx, 1)
+        score_mask = group_mask.unsqueeze(-1).expand(n, n_group, e // n_group).reshape(n, -1)
+        tmp = sfc.masked_fill(~score_mask.bool(), float("-inf"))
+        _, topk_idx = torch.topk(tmp, k=top_k, dim=-1, sorted=False)
+        topk_w = scores.gather(1, topk_idx)
+        if top_k > 1 and norm_topk_prob:
+            topk_w = topk_w / (topk_w.sum(dim=-1, keepdim=True) + 1e-20)
+        return topk_idx.numpy(), (topk_w * scaling).numpy()
+
+    def test_matches_reference_selection_and_weights(self):
+        rng = np.random.default_rng(7)
+        n, e = 32, 16
+        logits = rng.standard_normal((n, e)).astype(np.float32)
+        bias = rng.standard_normal(e).astype(np.float32) * 0.1
+        kwargs = dict(top_k=4, n_group=4, topk_group=2,
+                      norm_topk_prob=True, routed_scaling_factor=1.5)
+        res = moe_gate(jnp.asarray(logits), jnp.asarray(bias), **kwargs)
+        ref_idx, ref_w = self._torch_reference_gate(
+            logits, bias, 4, 4, 2, True, 1.5
+        )
+        got_idx, got_w = np.asarray(res.topk_idx), np.asarray(res.topk_weight)
+        # top-k order may differ (sorted=False in torch); compare as sets w/ weights
+        for i in range(n):
+            gs = dict(zip(got_idx[i].tolist(), got_w[i].tolist()))
+            rs = dict(zip(ref_idx[i].tolist(), ref_w[i].tolist()))
+            assert set(gs) == set(rs), f"row {i}: {gs} vs {rs}"
+            for key in gs:
+                assert gs[key] == pytest.approx(rs[key], rel=1e-5)
+
+    def test_no_group_limit(self):
+        logits = jnp.asarray(
+            np.random.default_rng(8).standard_normal((8, 4)).astype(np.float32)
+        )
+        res = moe_gate(
+            logits, jnp.zeros(4), top_k=2, n_group=1, topk_group=1,
+            norm_topk_prob=True, routed_scaling_factor=1.0,
+        )
+        w = np.asarray(res.topk_weight)
+        np.testing.assert_allclose(w.sum(-1), 1.0, rtol=1e-5)
+
+
+class TestDispatch:
+    def test_dispatch_combine_reconstruction(self):
+        """With ample capacity, dense dispatch == weighted sum of expert outputs."""
+        rng = np.random.default_rng(9)
+        n, d, e, k, c = 16, 8, 4, 2, 16
+        x = rng.standard_normal((n, d)).astype(np.float32)
+        logits = rng.standard_normal((n, e)).astype(np.float32)
+        res = moe_gate(
+            jnp.asarray(logits), jnp.zeros(e), top_k=k, n_group=1, topk_group=1,
+            norm_topk_prob=True, routed_scaling_factor=1.0,
+        )
+        dispatch, combine, load = make_dispatch_combine(
+            res.topk_idx, res.topk_weight, n_experts=e, capacity=c
+        )
+        # identity "experts": y should equal sum_k w_k * x
+        expert_in = jnp.einsum("nec,nd->ecd", dispatch, jnp.asarray(x))
+        y = np.asarray(jnp.einsum("nec,ecd->nd", combine, expert_in))
+        expected = np.asarray(res.topk_weight).sum(-1, keepdims=True) * x
+        np.testing.assert_allclose(y, expected, rtol=1e-5, atol=1e-6)
+        assert np.asarray(load).sum() == n * k
+
+    def test_capacity_drops_overflow(self):
+        # all tokens pick expert 0
+        idx = jnp.zeros((8, 1), jnp.int32)
+        w = jnp.ones((8, 1), jnp.float32)
+        dispatch, combine, _ = make_dispatch_combine(idx, w, n_experts=2, capacity=4)
+        assert float(dispatch.sum()) == 4.0  # only 4 slots available
+        # each slot used at most once
+        assert float(dispatch.max()) == 1.0
+
+    def test_expert_ffn_shapes(self):
+        e, c, d, f = 4, 8, 16, 32
+        rng = jax.random.PRNGKey(0)
+        keys = jax.random.split(rng, 4)
+        ein = jax.random.normal(keys[0], (e, c, d))
+        wg = jax.random.normal(keys[1], (e, d, f)) * 0.02
+        wu = jax.random.normal(keys[2], (e, d, f)) * 0.02
+        wd = jax.random.normal(keys[3], (e, f, d)) * 0.02
+        out = expert_ffn(ein, wg, wu, wd)
+        assert out.shape == (e, c, d)
+
+    def test_aux_loss_balanced_is_one(self):
+        # perfectly uniform routing → loss ≈ 1
+        n, e = 64, 4
+        scores = jnp.ones((n, e)) * 0.5
+        idx = jnp.asarray(np.arange(n) % e, jnp.int32)[:, None]
+        loss = load_balance_aux_loss(scores, idx, e)
+        assert float(loss) == pytest.approx(1.0, rel=1e-5)
