@@ -1,0 +1,289 @@
+"""DeepSeek-style components: MLA attention, MoE layer, decoder blocks.
+
+TPU-native re-design of the vendored reference stack
+(reference: encoders/modeling_deepseek.py:627-856 for MLA, :393-608 for MoE,
+:1142+ for the decoder layer; thin wrapper encoders/deepseek_components.py:98-120).
+
+Design differences (all TPU-motivated, semantics preserved):
+* MoE uses static-shape capacity-factor dense dispatch instead of
+  sort+all_to_all (see ops/moe.py) and is differentiable — the reference's
+  MoE forward was inference-only.
+* Expert weights are stacked ``(E, D, F)`` tensors so a single einsum drives
+  the MXU and the ``E`` axis can be sharded over the mesh's ``expert`` axis
+  (the EP equivalent of reference modeling_deepseek.py:485-597).
+* Attention softmax runs in float32 with the same mscale-corrected scale.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..configs import DeepSeekBlockConfig, MLAConfig, MoEConfig
+from ..ops.attention import dot_product_attention
+from ..ops.moe import (
+    expert_ffn,
+    load_balance_aux_loss,
+    make_dispatch_combine,
+    moe_gate,
+)
+from ..ops.norms import RMSNorm
+from ..ops.rope import apply_rope_deepseek, rope_cos_sin, yarn_get_mscale
+
+
+class MLAttention(nn.Module):
+    """Multi-head Latent Attention (reference: encoders/modeling_deepseek.py:627-856).
+
+    Queries optionally go through a LoRA bottleneck (q_a/q_b + RMSNorm); keys
+    and values are compressed to ``kv_lora_rank`` + a shared rope head, then
+    decompressed per head. Positional information only flows through the
+    ``qk_rope_head_dim`` slice.
+    """
+
+    cfg: MLAConfig
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_mask: Optional[jnp.ndarray] = None,
+        is_causal: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        B, N, _ = x.shape
+        H = cfg.n_heads
+        qh, nope, rope_d, vh = (
+            cfg.q_head_dim,
+            cfg.qk_nope_head_dim,
+            cfg.qk_rope_head_dim,
+            cfg.v_head_dim,
+        )
+        dense = lambda feats, name, bias=False: nn.Dense(  # noqa: E731
+            feats, use_bias=bias, name=name,
+            dtype=self.compute_dtype, param_dtype=self.param_dtype,
+        )
+
+        # -- queries (optional LoRA path, modeling_deepseek.py:656-667) ------ #
+        if cfg.q_lora_rank is None:
+            q = dense(H * qh, "q_proj")(x)
+        else:
+            q = dense(cfg.q_lora_rank, "q_a_proj", bias=cfg.attention_bias)(x)
+            q = RMSNorm(name="q_a_layernorm")(q)
+            q = dense(H * qh, "q_b_proj")(q)
+        q = q.reshape(B, N, H, qh).transpose(0, 2, 1, 3)
+        q_nope, q_pe = q[..., :nope], q[..., nope:]
+
+        # -- compressed kv (modeling_deepseek.py:669-688) -------------------- #
+        ckv = dense(cfg.kv_lora_rank + rope_d, "kv_a_proj_with_mqa",
+                    bias=cfg.attention_bias)(x)
+        compressed_kv, k_pe = ckv[..., : cfg.kv_lora_rank], ckv[..., cfg.kv_lora_rank:]
+        k_pe = k_pe.reshape(B, N, 1, rope_d).transpose(0, 2, 1, 3)  # (B,1,N,r)
+        kv = dense(H * (nope + vh), "kv_b_proj")(
+            RMSNorm(name="kv_a_layernorm")(compressed_kv)
+        ).reshape(B, N, H, nope + vh).transpose(0, 2, 1, 3)
+        k_nope, v = kv[..., :nope], kv[..., nope:]
+
+        # -- rope on the positional slice ------------------------------------ #
+        scaling = cfg.rope_scaling if cfg.rope_scaling.type != "none" else None
+        cos, sin = rope_cos_sin(N, rope_d, cfg.rope_theta, scaling=scaling)
+        q_pe = apply_rope_deepseek(q_pe, cos, sin).astype(q_nope.dtype)
+        k_pe = apply_rope_deepseek(k_pe, cos, sin).astype(k_nope.dtype)
+
+        query = jnp.concatenate([q_nope, q_pe], axis=-1)
+        key = jnp.concatenate(
+            [k_nope, jnp.broadcast_to(k_pe, (B, H, N, rope_d))], axis=-1
+        )
+
+        # -- softmax scale with yarn mscale (modeling_deepseek.py:689-695) --- #
+        scale = qh ** -0.5
+        if cfg.rope_scaling.type == "yarn" and cfg.rope_scaling.mscale_all_dim:
+            ms = yarn_get_mscale(cfg.rope_scaling.factor, cfg.rope_scaling.mscale_all_dim)
+            scale = scale * ms * ms
+
+        out = dot_product_attention(
+            query, key, v, scale=scale, key_mask=key_mask, is_causal=is_causal
+        )
+        out = out.transpose(0, 2, 1, 3).reshape(B, N, H * vh)
+        out = dense(cfg.hidden_dim, "o_proj", bias=cfg.attention_bias)(out)
+        if cfg.attention_dropout > 0:
+            out = nn.Dropout(cfg.attention_dropout)(out, deterministic=deterministic)
+        return out
+
+
+class SwiGLUMLP(nn.Module):
+    """Dense SwiGLU MLP (reference: encoders/modeling_deepseek.py:374-390)."""
+
+    hidden_dim: int
+    intermediate_size: int
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kwargs = dict(
+            use_bias=False, dtype=self.compute_dtype, param_dtype=self.param_dtype
+        )
+        gate = nn.Dense(self.intermediate_size, name="gate_proj", **kwargs)(x)
+        up = nn.Dense(self.intermediate_size, name="up_proj", **kwargs)(x)
+        return nn.Dense(self.hidden_dim, name="down_proj", **kwargs)(
+            nn.silu(gate) * up
+        )
+
+
+def _kaiming_uniform_router(key, shape, dtype):
+    """kaiming_uniform(a=sqrt(5)) over (E, D) — reference MoEGate init
+    (modeling_deepseek.py:417-420)."""
+    fan_in = shape[1]
+    gain = math.sqrt(2.0 / (1.0 + 5.0))
+    bound = math.sqrt(3.0) * gain / math.sqrt(fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+class MoELayer(nn.Module):
+    """Routed + shared experts with static-shape dispatch
+    (reference: encoders/modeling_deepseek.py:475-608)."""
+
+    cfg: MoEConfig
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        orig_shape = x.shape
+        D = orig_shape[-1]
+        xf = x.reshape(-1, D)
+        S = xf.shape[0]
+        E, K, F = cfg.n_routed_experts, cfg.num_experts_per_tok, cfg.moe_intermediate_size
+
+        router_w = self.param(
+            "router_weight", _kaiming_uniform_router, (E, D), jnp.float32
+        )
+        router_bias = self.param(
+            "e_score_correction_bias", nn.initializers.zeros, (E,), jnp.float32
+        )
+        logits = jnp.einsum(
+            "sd,ed->se", xf.astype(jnp.float32), router_w,
+            preferred_element_type=jnp.float32,
+        )
+        gate = moe_gate(
+            logits, router_bias,
+            top_k=K, n_group=cfg.n_group, topk_group=cfg.topk_group,
+            norm_topk_prob=cfg.norm_topk_prob,
+            routed_scaling_factor=cfg.routed_scaling_factor,
+        )
+        capacity = max(K, int(math.ceil(S * K / E * cfg.capacity_factor)))
+        dispatch, combine, load = make_dispatch_combine(
+            gate.topk_idx, gate.topk_weight, n_experts=E, capacity=capacity
+        )
+
+        w_gate = self.param(
+            "w_gate", nn.initializers.normal(0.02), (E, D, F), self.param_dtype
+        )
+        w_up = self.param(
+            "w_up", nn.initializers.normal(0.02), (E, D, F), self.param_dtype
+        )
+        w_down = self.param(
+            "w_down", nn.initializers.normal(0.02), (E, F, D), self.param_dtype
+        )
+        expert_in = jnp.einsum(
+            "sec,sd->ecd", dispatch.astype(self.compute_dtype),
+            xf.astype(self.compute_dtype),
+        )
+        expert_out = expert_ffn(
+            expert_in,
+            w_gate.astype(self.compute_dtype),
+            w_up.astype(self.compute_dtype),
+            w_down.astype(self.compute_dtype),
+        )
+        y = jnp.einsum(
+            "sec,ecd->sd", combine.astype(self.compute_dtype), expert_out
+        )
+
+        if cfg.n_shared_experts:
+            y = y + SwiGLUMLP(
+                D, F * cfg.n_shared_experts,
+                self.compute_dtype, self.param_dtype, name="shared_experts",
+            )(xf)
+
+        aux = load_balance_aux_loss(gate.scores, gate.topk_idx, E)
+        self.sow("intermediates", "moe_aux_loss", aux)
+        self.sow("intermediates", "moe_load", load)
+        return y.reshape(orig_shape).astype(x.dtype)
+
+
+class DeepSeekBlock(nn.Module):
+    """Pre-RMSNorm decoder block: MLA + (dense | MoE) MLP
+    (reference: encoders/modeling_deepseek.py:1142-1230)."""
+
+    cfg: DeepSeekBlockConfig
+    layer_idx: int = 0
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_mask: Optional[jnp.ndarray] = None,
+        is_causal: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        h = RMSNorm(eps=cfg.rms_norm_eps, name="input_layernorm")(x)
+        x = x + MLAttention(
+            cfg.mla, self.compute_dtype, self.param_dtype, name="self_attn"
+        )(h, key_mask=key_mask, is_causal=is_causal, deterministic=deterministic)
+
+        use_moe = (
+            cfg.moe is not None
+            and self.layer_idx >= cfg.first_k_dense_replace
+            and (self.layer_idx - cfg.first_k_dense_replace) % cfg.moe_layer_freq == 0
+        )
+        h = RMSNorm(eps=cfg.rms_norm_eps, name="post_attention_layernorm")(x)
+        if use_moe:
+            mlp_out = MoELayer(
+                cfg.moe, self.compute_dtype, self.param_dtype, name="moe"
+            )(h)
+        else:
+            mlp_out = SwiGLUMLP(
+                cfg.hidden_dim, cfg.intermediate_size,
+                self.compute_dtype, self.param_dtype, name="mlp",
+            )(h)
+        return x + mlp_out
+
+
+class DeepSeekTransformer(nn.Module):
+    """N decoder blocks + final RMSNorm
+    (reference: encoders/deepseek_components.py:98-120)."""
+
+    cfg: DeepSeekBlockConfig
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_mask: Optional[jnp.ndarray] = None,
+        is_causal: bool = False,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        block_cls = DeepSeekBlock
+        if self.remat:
+            block_cls = nn.remat(DeepSeekBlock, static_argnums=(2, 3))
+        for i in range(self.cfg.n_layers):
+            x = block_cls(
+                self.cfg, layer_idx=i,
+                compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(x, key_mask, is_causal, deterministic)
+        return RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)

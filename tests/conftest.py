@@ -3,12 +3,15 @@
 Multi-chip TPU hardware is not available in CI; sharding correctness is
 validated on 8 virtual CPU devices (the driver separately dry-runs the
 multi-chip path via __graft_entry__.dryrun_multichip).
+
+Note: this environment's sitecustomize registers an 'axon' TPU backend and
+programmatically sets jax_platforms — env vars alone don't stick, so we
+re-override via jax.config before the (lazy) backend initializes.
 """
 
 import os
 
-# Must be set before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# XLA_FLAGS must be in the env before the CPU client is created.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,7 +20,12 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
+
 import pytest  # noqa: E402
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture(scope="session")
