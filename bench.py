@@ -1,0 +1,236 @@
+"""Benchmark: masked multimodal reconstruction throughput on the real chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value     = observation tokens/sec/chip through a full jit train step
+            (forward + masked losses + backward + adam update) at A-stack
+            reference scale (hidden 768, 12 fusion layers, Grid4D 16 spatial
+            levels @ 2^19 tables — reference: models/configs.py defaults).
+vs_baseline = value / (torch CPU reference throughput), measured once from the
+            reference's own runnable A-stack modules (examples/quick_test.py
+            composition) and cached in BENCH_BASELINE_CPU.json. North-star
+            target is >=10x (BASELINE.md).
+
+Extra diagnostic numbers go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BATCH = 64
+STEPS = 30
+WARMUP = 5
+BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE_CPU.json")
+
+# Fusion sequence: cls + spacetime + species (A-stack comparable scale).
+TOKENS_PER_OBS = 3
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_ours() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from deepearth_tpu.configs import tiny_config, Grid4DConfig, TransformerConfig
+    from deepearth_tpu.configs import DeepEarthConfig, ModalityConfig
+    from deepearth_tpu.models import DeepEarthModel
+    from deepearth_tpu.training import LossWeights, create_optimizer, make_train_step
+    from deepearth_tpu.training.trainer import TrainState
+
+    cfg = DeepEarthConfig(
+        hidden_dim=768,
+        n_heads=12,
+        n_layers=12,
+        grid4d=Grid4DConfig(
+            n_spatial_levels=16, n_temporal_levels=8,
+            n_features_per_level=2, hash_table_size=2 ** 19,
+        ),
+        modality_encoder=TransformerConfig(hidden_dim=384, n_heads=6, n_layers=4),
+        compute_dtype=jnp.bfloat16,
+    )
+    cfg.add_modality(
+        ModalityConfig(
+            name="species", encoding_type="learned_embedding",
+            input_type="categorical", vocab_size=232,
+        )
+    )
+    model = DeepEarthModel(cfg)
+
+    rng = jax.random.PRNGKey(0)
+    batch = {
+        "xyzt": jax.random.uniform(rng, (BATCH, 4)),
+        "modalities": {"species": jax.random.randint(rng, (BATCH,), 0, 232)},
+    }
+    params = model.init(jax.random.PRNGKey(1), batch)["params"]
+    n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
+    log(f"[ours] params: {n_params/1e6:.1f}M, devices: {jax.devices()}")
+
+    tx = create_optimizer(cfg.optimizer)
+    state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
+    step = jax.jit(
+        make_train_step(model, cfg, LossWeights(contrastive=0.0)),
+        donate_argnums=(0,),
+    )
+
+    t0 = time.perf_counter()
+    for i in range(WARMUP):
+        state, metrics = step(state, batch, jax.random.PRNGKey(i))
+    jax.block_until_ready(metrics["loss/total"])
+    log(f"[ours] warmup+compile: {time.perf_counter()-t0:.1f}s")
+
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
+    jax.block_until_ready(metrics["loss/total"])
+    dt = time.perf_counter() - t0
+    obs_per_s = BATCH * STEPS / dt
+
+    # p50 encode latency: grid4d + modality encode + fusion forward only
+    fwd = jax.jit(lambda p, b: model.apply({"params": p}, b)["fused_representation"])
+    out = fwd(state.params, batch)
+    jax.block_until_ready(out)
+    lat = []
+    for i in range(20):
+        t1 = time.perf_counter()
+        jax.block_until_ready(fwd(state.params, batch))
+        lat.append((time.perf_counter() - t1) * 1000)
+    p50 = float(np.percentile(lat, 50))
+    log(f"[ours] train obs/s: {obs_per_s:.1f}  fwd p50: {p50:.2f} ms/batch")
+    return {"obs_per_s": obs_per_s, "p50_forward_ms": p50}
+
+
+def bench_reference_cpu() -> float:
+    """Measure the torch reference A-stack on CPU once; cache the result.
+
+    Composes the reference's own modules the way examples/quick_test.py does
+    (Grid4D encoder + species embedding + 12-layer transformer + decoders)
+    and times forward+masked-losses+backward+adam at the same batch size.
+    """
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["obs_per_s"]
+    try:
+        sys.path.insert(0, "/root/reference")
+        import torch
+        from models.configs import DeepEarthConfig as RefConfig
+        from models.encoders import Grid4DEncoder as RefGrid4D
+        from models.transformers import Transformer as RefTransformer
+        from models.decoders import (
+            ModalityDecoder as RefModalityDecoder,
+            SpatiotemporalDecoder as RefSTDecoder,
+        )
+
+        torch.set_num_threads(os.cpu_count() or 8)
+        rc = RefConfig()
+
+        class RefModel(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.grid4d = RefGrid4D(rc)
+                self.species_embed = torch.nn.Embedding(232, rc.hidden_dim)
+                self.cls = torch.nn.Parameter(torch.randn(1, 1, rc.hidden_dim) * 0.02)
+                self.fusion = RefTransformer(rc.cross_modal_fusion_config)
+                self.spatial_dec = RefSTDecoder("spatial", 3, rc)
+                self.temporal_dec = RefSTDecoder("temporal", 1, rc)
+                self.species_dec = RefModalityDecoder("species", 232, rc)
+
+            def forward(self, xyzt, species):
+                st = self.grid4d(xyzt)[:, None, :]
+                sp = self.species_embed(species)[:, None, :]
+                cls = self.cls.expand(xyzt.shape[0], -1, -1)
+                tokens = torch.cat([cls, st, sp], dim=1)
+                fused = self.fusion(tokens)
+                return (
+                    self.spatial_dec(fused[:, 1]),
+                    self.temporal_dec(fused[:, 1]),
+                    self.species_dec(fused[:, 2]),
+                )
+
+        model = RefModel()
+        opt = torch.optim.AdamW(model.parameters(), lr=1e-4)
+        xyzt = torch.rand(BATCH, 4)
+        species = torch.randint(0, 232, (BATCH,))
+
+        def step():
+            opt.zero_grad()
+            s, t, sl = model(xyzt, species)
+            loss = (
+                torch.nn.functional.mse_loss(s, xyzt[:, :3])
+                + torch.nn.functional.mse_loss(t, xyzt[:, 3:4])
+                + torch.nn.functional.cross_entropy(sl, species)
+            )
+            loss.backward()
+            opt.step()
+
+        for _ in range(2):
+            step()
+        n = 6
+        t0 = time.perf_counter()
+        for _ in range(n):
+            step()
+        dt = time.perf_counter() - t0
+        obs_per_s = BATCH * n / dt
+        log(f"[reference torch CPU] obs/s: {obs_per_s:.1f}")
+    except Exception as e:  # reference import breakage — record and fall back
+        log(f"[reference] failed to benchmark ({e}); using recorded fallback")
+        obs_per_s = float("nan")
+    finally:
+        if sys.path and sys.path[0] == "/root/reference":
+            sys.path.pop(0)
+
+    if np.isfinite(obs_per_s):
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(
+                {
+                    "obs_per_s": obs_per_s,
+                    "what": "torch CPU reference A-stack fwd+bwd+adam, batch "
+                    f"{BATCH} (models/{{encoders,transformers,decoders}}.py)",
+                },
+                f,
+            )
+    return obs_per_s
+
+
+def main():
+    baseline_obs_s = bench_reference_cpu()
+    ours = bench_ours()
+    tokens_per_s = ours["obs_per_s"] * TOKENS_PER_OBS
+    vs = (
+        ours["obs_per_s"] / baseline_obs_s
+        if np.isfinite(baseline_obs_s)
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "observation tokens/sec/chip, masked multimodal "
+                "reconstruction train step (A-stack scale)",
+                "value": round(tokens_per_s, 1),
+                "unit": "tokens/s/chip",
+                "vs_baseline": round(vs, 2) if vs is not None else None,
+                "detail": {
+                    "obs_per_s": round(ours["obs_per_s"], 1),
+                    "p50_forward_ms_batch64": round(ours["p50_forward_ms"], 2),
+                    "reference_cpu_obs_per_s": (
+                        round(baseline_obs_s, 1)
+                        if np.isfinite(baseline_obs_s)
+                        else None
+                    ),
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,38 @@
+"""Data layer: synthetic generator, mmap embedding store, batching/prefetch,
+train/test splits."""
+
+from .batches import collate_observations, device_prefetch, threaded_producer
+from .mmap_store import (
+    MMapEmbeddingLoader,
+    MMapEmbeddingWriter,
+    convert_arrays_to_store,
+)
+from .splits import (
+    SplitConfig,
+    create_spatial_temporal_split,
+    haversine_km,
+    load_split,
+    save_split,
+)
+from .synthetic import (
+    SyntheticConfig,
+    SyntheticEarthDataGenerator,
+    observations_to_batch,
+)
+
+__all__ = [
+    "collate_observations",
+    "device_prefetch",
+    "threaded_producer",
+    "MMapEmbeddingLoader",
+    "MMapEmbeddingWriter",
+    "convert_arrays_to_store",
+    "SplitConfig",
+    "create_spatial_temporal_split",
+    "haversine_km",
+    "load_split",
+    "save_split",
+    "SyntheticConfig",
+    "SyntheticEarthDataGenerator",
+    "observations_to_batch",
+]

@@ -1,0 +1,92 @@
+"""Batch assembly and double-buffered host→device prefetch.
+
+TPU-idiomatic replacement for the reference's torch DataLoader workers
+(reference call stack: training/deepearth_multimodal_training.py:420-460):
+a plain Python producer assembles numpy batches (mmap-backed), and
+:func:`device_prefetch` keeps one batch in flight on the device so the chip
+never waits on the host.
+"""
+
+from __future__ import annotations
+
+import collections
+import threading
+import queue as queue_mod
+from typing import Any, Dict, Iterable, Iterator, Optional, Sequence
+
+import jax
+import numpy as np
+
+
+def device_prefetch(
+    iterator: Iterable[Dict[str, Any]],
+    size: int = 2,
+    sharding: Optional[Any] = None,
+) -> Iterator[Dict[str, Any]]:
+    """Double-buffered async device transfer.
+
+    Eagerly pushes up to ``size`` batches onto the device (optionally with a
+    NamedSharding for multi-chip data parallelism) while the previous step
+    computes — the jax.device_put is async, so transfer overlaps compute.
+    """
+    buf = collections.deque()
+
+    def put(batch):
+        if sharding is not None:
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, sharding), batch
+            )
+        return jax.tree_util.tree_map(jax.device_put, batch)
+
+    it = iter(iterator)
+    try:
+        for _ in range(size):
+            buf.append(put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.popleft()
+        try:
+            buf.append(put(next(it)))
+        except StopIteration:
+            pass
+
+
+def threaded_producer(
+    make_iterator, capacity: int = 4
+) -> Iterator[Dict[str, Any]]:
+    """Run batch assembly in a background thread (the host-side analogue of
+    DataLoader workers) so mmap reads overlap device compute."""
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=capacity)
+    _END = object()
+
+    def worker():
+        try:
+            for item in make_iterator():
+                q.put(item)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item
+
+
+def collate_observations(
+    obs_list: Sequence[Dict[str, np.ndarray]],
+    modalities: Sequence[str],
+) -> Dict[str, Any]:
+    """Stack per-observation dicts into one batch with the model schema
+    (reference schema: dashboard/services/training_data.py:22-80)."""
+    out: Dict[str, Any] = {
+        "xyzt": np.stack([o["xyzt"] for o in obs_list]).astype(np.float32),
+        "modalities": {},
+    }
+    for m in modalities:
+        if m in obs_list[0]:
+            out["modalities"][m] = np.stack([o[m] for o in obs_list])
+    return out

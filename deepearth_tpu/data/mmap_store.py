@@ -1,0 +1,156 @@
+"""Memory-mapped embedding store with flat int64 offset index.
+
+Keeps the reference's binary-blob design
+(reference: dashboard/prepare_embeddings.py:38-290,
+dashboard/mmap_embedding_loader.py:32-388) but replaces the SQLite index on
+the hot path with flat numpy arrays (ids + offsets + shapes), which removes
+the per-lookup SQL round trip. Layout on disk:
+
+    <name>.bin        raw float16/float32 embedding payload
+    <name>.index.npz  ids (int64), offsets (int64, in elements), shape, dtype
+
+Thread-safe by construction: the mmap is opened read-only and numpy fancy
+indexing is stateless. Batched fetches slice the mmap once per item and stack
+into a pinned host array ready for jax.device_put.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+import time
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+class MMapEmbeddingWriter:
+    """Builds the blob + index (reference: dashboard/prepare_embeddings.py:38)."""
+
+    def __init__(
+        self,
+        path: str,
+        embedding_shape: Sequence[int],
+        dtype: str = "float16",
+    ):
+        self.path = path
+        self.embedding_shape = tuple(int(s) for s in embedding_shape)
+        self.dtype = np.dtype(dtype)
+        self._ids: List[int] = []
+        self._n_elem = int(np.prod(self.embedding_shape))
+        os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+        self._f = open(path + ".bin", "wb")
+
+    def add(self, obs_id: int, embedding: np.ndarray) -> None:
+        arr = np.ascontiguousarray(embedding, dtype=self.dtype)
+        if arr.shape != self.embedding_shape:
+            raise ValueError(
+                f"embedding shape {arr.shape} != {self.embedding_shape}"
+            )
+        self._f.write(arr.tobytes())
+        self._ids.append(int(obs_id))
+
+    def finalize(self) -> None:
+        self._f.close()
+        ids = np.asarray(self._ids, dtype=np.int64)
+        offsets = np.arange(len(ids), dtype=np.int64) * self._n_elem
+        np.savez(
+            self.path + ".index.npz",
+            ids=ids,
+            offsets=offsets,
+            shape=np.asarray(self.embedding_shape, np.int64),
+            dtype=np.asarray([self.dtype.str.encode()]),
+        )
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.finalize()
+
+
+class MMapEmbeddingLoader:
+    """Read path (reference: dashboard/mmap_embedding_loader.py:32).
+
+    <2 GB RAM for arbitrarily large stores: only the index lives in memory;
+    payload pages stream through the OS page cache.
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+        idx = np.load(path + ".index.npz")
+        self.ids = idx["ids"]
+        self.offsets = idx["offsets"]
+        self.embedding_shape = tuple(int(s) for s in idx["shape"])
+        self.dtype = np.dtype(idx["dtype"][0].decode())
+        self._n_elem = int(np.prod(self.embedding_shape))
+        self._id_to_row: Dict[int, int] = {
+            int(i): r for r, i in enumerate(self.ids)
+        }
+        self._mmap = np.memmap(path + ".bin", dtype=self.dtype, mode="r")
+        self._stats_lock = threading.Lock()
+        self.stats = {"loads": 0, "total_time_s": 0.0, "misses": 0}
+
+    def __len__(self) -> int:
+        return len(self.ids)
+
+    def __contains__(self, obs_id: int) -> bool:
+        return int(obs_id) in self._id_to_row
+
+    def get(self, obs_id: int, out_dtype=np.float32) -> Optional[np.ndarray]:
+        t0 = time.perf_counter()
+        row = self._id_to_row.get(int(obs_id))
+        if row is None:
+            with self._stats_lock:
+                self.stats["misses"] += 1
+            return None
+        off = self.offsets[row]
+        arr = np.asarray(self._mmap[off : off + self._n_elem], dtype=out_dtype)
+        arr = arr.reshape(self.embedding_shape)
+        with self._stats_lock:
+            self.stats["loads"] += 1
+            self.stats["total_time_s"] += time.perf_counter() - t0
+        return arr
+
+    def get_batch(
+        self, obs_ids: Sequence[int], out_dtype=np.float32
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Fetch many embeddings at once.
+
+        Returns (batch (N, *shape), found_mask (N,) bool); missing ids yield
+        zeros (the reference falls back to random embeddings on miss —
+        training/deepearth_multimodal_training.py:238; zeros are
+        deterministic, which tests prefer).
+        """
+        n = len(obs_ids)
+        out = np.zeros((n,) + self.embedding_shape, dtype=out_dtype)
+        found = np.zeros(n, dtype=bool)
+        for i, oid in enumerate(obs_ids):
+            e = self.get(oid, out_dtype)
+            if e is not None:
+                out[i] = e
+                found[i] = True
+        return out, found
+
+    def mean_load_ms(self) -> float:
+        n = max(self.stats["loads"], 1)
+        return 1000.0 * self.stats["total_time_s"] / n
+
+
+def convert_arrays_to_store(
+    path: str, ids: Sequence[int], embeddings: np.ndarray, dtype: str = "float16"
+) -> MMapEmbeddingLoader:
+    """One-shot conversion helper (parquet→mmap equivalent,
+    reference: dashboard/prepare_embeddings.py)."""
+    with MMapEmbeddingWriter(path, embeddings.shape[1:], dtype) as w:
+        for i, e in zip(ids, embeddings):
+            w.add(i, e)
+    loader = MMapEmbeddingLoader(path)
+    # verification pass (reference: prepare_embeddings.py:290)
+    for i in np.random.default_rng(0).choice(len(ids), min(4, len(ids)), replace=False):
+        got = loader.get(int(ids[i]))
+        expect = np.asarray(embeddings[i], dtype=np.dtype(dtype)).astype(np.float32)
+        if not np.allclose(got, expect, atol=1e-6):
+            raise RuntimeError("store verification failed")
+    return loader

@@ -1,0 +1,52 @@
+"""Model layer: Grid4D encoder, transformers, DeepSeek blocks, fusion,
+decoders, and the integrated DeepEarthModel."""
+
+from .decoders import ModalityDecoder, SpatiotemporalDecoder
+from .deepearth import DeepEarthModel
+from .deepseek import (
+    DeepSeekBlock,
+    DeepSeekTransformer,
+    MLAttention,
+    MoELayer,
+    SwiGLUMLP,
+)
+from .encoders import ModalityEncoder, UniversalTokenEncoder
+from .fusion import (
+    CrossModalFusion,
+    FusionAttention,
+    FusionLayer,
+    HierarchicalFusion,
+    SpatialTemporalEmbedding,
+)
+from .grid4d import Grid4DEncoder
+from .transformer import (
+    GatedMLP,
+    MLP,
+    MultiHeadAttention,
+    Transformer,
+    TransformerBlock,
+)
+
+__all__ = [
+    "ModalityDecoder",
+    "SpatiotemporalDecoder",
+    "DeepEarthModel",
+    "DeepSeekBlock",
+    "DeepSeekTransformer",
+    "MLAttention",
+    "MoELayer",
+    "SwiGLUMLP",
+    "ModalityEncoder",
+    "UniversalTokenEncoder",
+    "CrossModalFusion",
+    "FusionAttention",
+    "FusionLayer",
+    "HierarchicalFusion",
+    "SpatialTemporalEmbedding",
+    "Grid4DEncoder",
+    "GatedMLP",
+    "MLP",
+    "MultiHeadAttention",
+    "Transformer",
+    "TransformerBlock",
+]

@@ -1,0 +1,162 @@
+"""DeepEarthModel — the integrated multimodal masked-reconstruction model.
+
+One coherent model replacing the reference's four stacks (see SURVEY.md §0):
+Grid4D hash spacetime encoding (reference: models/encoders.py:12),
+universal-token modality encoders (reference:
+encoders/modality_infrastructure.py:311), whole-modality masking with a
+learnable mask token (reference: models/deepearth_full_model.py:13-116),
+cross-modal fusion (reference: models/cross_modal_fusion.py:353), an optional
+DeepSeek MLA/MoE inductive simulator (reference: core/inductive_simulator.py:78),
+and per-modality reconstruction decoders (reference: models/decoders.py).
+
+Batch schema (all arrays static-shaped, jit-friendly):
+    xyzt:            (B, 4) normalized coordinates
+    modalities:      {name: (B,) int32 | (B, Din) | (B, S, Din)}
+    modality_masks:  {name: (B,) bool} True = visible (False → mask token)
+    spatial_mask:    (B,) bool True = visible
+    temporal_mask:   (B,) bool True = visible
+
+Mask semantics follow the reference: masked coordinates are zeroed
+multiplicatively inside Grid4D, masked modalities are replaced wholesale by
+the mask token; losses are computed on the masked-out entries.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..configs import DeepEarthConfig, ModalityConfig
+from .decoders import ModalityDecoder, SpatiotemporalDecoder
+from .deepseek import DeepSeekTransformer
+from .encoders import UniversalTokenEncoder
+from .fusion import CrossModalFusion
+from .grid4d import Grid4DEncoder
+
+
+def _native_dim(m: ModalityConfig) -> int:
+    if m.encoding_type == "learned_embedding":
+        return m.vocab_size
+    return m.input_dim
+
+
+class DeepEarthModel(nn.Module):
+    """Config-driven multimodal model with a single jit-able forward."""
+
+    config: DeepEarthConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        batch: Dict[str, Any],
+        deterministic: bool = True,
+    ) -> Dict[str, Any]:
+        cfg = self.config
+        cd, pd = cfg.compute_dtype, cfg.param_dtype
+        D = cfg.fusion.universal_dim
+        xyzt = batch["xyzt"]
+        B = xyzt.shape[0]
+        modalities = batch.get("modalities", {})
+        masks = batch.get("modality_masks", {})
+        spatial_mask = batch.get("spatial_mask")
+        temporal_mask = batch.get("temporal_mask")
+
+        # ---- spacetime token -------------------------------------------------- #
+        st_emb = Grid4DEncoder(
+            cfg.grid4d, cfg.hidden_dim, cd, pd, name="grid4d"
+        )(xyzt, spatial_mask, temporal_mask)
+        if cfg.hidden_dim != D:
+            st_emb = nn.Dense(D, dtype=cd, param_dtype=pd, name="grid4d_projector")(
+                st_emb
+            )
+        tokens: Dict[str, jnp.ndarray] = {"spacetime": st_emb[:, None, :]}
+
+        # ---- per-modality universal tokens ----------------------------------- #
+        mask_token = self.param(
+            "mask_token", nn.initializers.normal(0.02), (1, 1, D), pd
+        )
+        for name in sorted(cfg.modalities):
+            if name not in modalities:
+                continue
+            m = cfg.modalities[name]
+            x = modalities[name]
+            if m.encoding_type == "learned_embedding":
+                tok = nn.Embed(
+                    m.vocab_size, D, dtype=cd, param_dtype=pd,
+                    embedding_init=nn.initializers.normal(0.02),
+                    name=f"embed_{name}",
+                )(x.astype(jnp.int32))[:, None, :]
+            else:
+                tok = UniversalTokenEncoder(
+                    m, D, cd, pd, name=f"encoder_{name}"
+                )(x, deterministic=deterministic)
+            if name in masks:
+                keep = masks[name][:, None, None]
+                tok = jnp.where(keep, tok, mask_token.astype(tok.dtype))
+            tokens[name] = tok
+
+        # ---- fusion ----------------------------------------------------------- #
+        modality_names = tuple(["spacetime"] + sorted(cfg.modalities))
+        fusion_out = CrossModalFusion(
+            cfg.fusion, modality_names, cd, pd, name="fusion"
+        )(
+            tokens,
+            batch.get("spatial_positions"),
+            batch.get("temporal_positions"),
+            deterministic=deterministic,
+        )
+        h_tokens = fusion_out["all_tokens"]
+
+        # ---- optional inductive simulator ------------------------------------ #
+        if cfg.fusion.deepseek_block is not None:
+            h_tokens = DeepSeekTransformer(
+                cfg.fusion.deepseek_block, cd, pd, name="simulator"
+            )(h_tokens, deterministic=deterministic)
+            fusion_out = dict(fusion_out)
+            fusion_out["all_tokens"] = h_tokens
+            fusion_out["fused_representation"] = h_tokens[:, 0]
+            # re-slice per-modality tokens from the simulated sequence
+            idx = 1
+            mt = {}
+            for name in modality_names:
+                if name not in tokens:
+                    continue
+                n = tokens[name].shape[1]
+                mt[name] = h_tokens[:, idx : idx + n]
+                idx += n
+            fusion_out["modality_tokens"] = mt
+
+        # ---- reconstruction decoders ----------------------------------------- #
+        st_fused = fusion_out["modality_tokens"]["spacetime"].mean(axis=1)
+        recon: Dict[str, jnp.ndarray] = {
+            "spatial": SpatiotemporalDecoder(
+                D, 3, "spatial", cd, pd, name="spatial_decoder"
+            )(st_fused),
+            "temporal": SpatiotemporalDecoder(
+                D, 1, "temporal", cd, pd, name="temporal_decoder"
+            )(st_fused),
+        }
+        for name in sorted(cfg.modalities):
+            if name not in tokens:
+                continue
+            m = cfg.modalities[name]
+            pooled = fusion_out["modality_tokens"][name].mean(axis=1)
+            recon[name] = ModalityDecoder(
+                D, _native_dim(m), dropout=0.0,
+                compute_dtype=cd, param_dtype=pd, name=f"decoder_{name}",
+            )(pooled, deterministic=deterministic)
+
+        return {
+            "reconstructions": recon,
+            "fused_representation": fusion_out["fused_representation"],
+            "all_tokens": fusion_out["all_tokens"],
+            "modality_tokens": fusion_out["modality_tokens"],
+            "input_tokens": tokens,
+        }
+
+    def extract_features(self, batch: Dict[str, Any]) -> jnp.ndarray:
+        """Frozen-feature extraction entry point
+        (reference: models/deepearth_integrated.py:337)."""
+        return self(batch, deterministic=True)["fused_representation"]

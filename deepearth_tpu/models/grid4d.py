@@ -1,0 +1,97 @@
+"""Grid4D spacetime encoder.
+
+Combines the A-stack split (xyz + t hash encoders, reference:
+models/encoders.py:12-85) with the spec-stack Grid4D decomposition
+(xyz + xyt/yzt/xzt, reference: SPECIFICATIONS.MD:1068-1200) behind one config
+flag. Masking is multiplicative on features, matching the reference's quirky
+semantics (models/encoders.py:73-79) — masked coordinates contribute zero
+features rather than being attention-masked.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..configs import Grid4DConfig
+from ..ops.hash_encoding import HashEncoding
+
+# Coordinate index triples for the spacetime decompositions.
+_DECOMPOSITIONS = {"xyt": (0, 1, 3), "yzt": (1, 2, 3), "xzt": (0, 2, 3)}
+
+
+class Grid4DEncoder(nn.Module):
+    """(x, y, z, t) → hidden_dim embedding via multi-resolution hash grids."""
+
+    cfg: Grid4DConfig
+    hidden_dim: int
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        xyzt: jnp.ndarray,
+        spatial_mask: Optional[jnp.ndarray] = None,
+        temporal_mask: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        """Args:
+            xyzt: (B, 4) normalized coordinates in [0, 1].
+            spatial_mask: (B,) bool — False zeroes the spatial features.
+            temporal_mask: (B,) bool — False zeroes the temporal features.
+        Returns:
+            (B, hidden_dim)
+        """
+        cfg = self.cfg
+        xyz = xyzt[:, :3]
+        t = xyzt[:, 3:4]
+
+        spatial = HashEncoding(cfg.spatial, self.param_dtype, name="spatial")(xyz)
+        if spatial_mask is not None:
+            spatial = spatial * spatial_mask[:, None].astype(spatial.dtype)
+
+        temporal = HashEncoding(cfg.temporal, self.param_dtype, name="temporal")(t)
+        if temporal_mask is not None:
+            temporal = temporal * temporal_mask[:, None].astype(temporal.dtype)
+
+        feats = [spatial, temporal]
+        if cfg.use_decompositions:
+            both = None
+            if spatial_mask is not None or temporal_mask is not None:
+                sm = (
+                    spatial_mask
+                    if spatial_mask is not None
+                    else jnp.ones(xyzt.shape[0], bool)
+                )
+                tm = (
+                    temporal_mask
+                    if temporal_mask is not None
+                    else jnp.ones(xyzt.shape[0], bool)
+                )
+                both = (sm & tm)[:, None]
+            for name, idx in _DECOMPOSITIONS.items():
+                f = HashEncoding(cfg.decomposition, self.param_dtype, name=name)(
+                    xyzt[:, list(idx)]
+                )
+                if both is not None:
+                    f = f * both.astype(f.dtype)
+                feats.append(f)
+
+        combined = jnp.concatenate(feats, axis=-1).astype(self.compute_dtype)
+
+        # Projection MLP (reference: models/encoders.py:47-52).
+        h = nn.Dense(
+            self.hidden_dim, dtype=self.compute_dtype, param_dtype=self.param_dtype,
+            name="proj_in",
+        )(combined)
+        h = nn.LayerNorm(
+            dtype=self.compute_dtype, param_dtype=self.param_dtype, name="proj_norm"
+        )(h)
+        h = nn.gelu(h)
+        h = nn.Dense(
+            self.hidden_dim, dtype=self.compute_dtype, param_dtype=self.param_dtype,
+            name="proj_out",
+        )(h)
+        return h

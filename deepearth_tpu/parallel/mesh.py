@@ -1,0 +1,145 @@
+"""Device mesh construction and sharding rules.
+
+TPU-native replacement for the reference's NCCL/DDP distribution
+(reference: hpc/train_distrbuted.py:35-54, 499-504 and the MoE
+all_to_all EP in encoders/modeling_deepseek.py:485-597):
+
+* mesh axes ``(data, expert, model)`` — DP gradients become compiled psums,
+  EP token exchange becomes XLA-inserted all-to-alls along ``expert``, TP
+  shards large matmul weights along ``model``. Collectives ride ICI.
+* parameters are assigned NamedShardings by path-based rules; everything the
+  rules don't match is replicated.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXES = ("data", "expert", "model")
+
+
+def _factorize(n: int, n_axes: int = 3) -> Tuple[int, ...]:
+    """Split n devices across (data, expert, model), favouring data."""
+    if n_axes == 1:
+        return (n,)
+    shape = [1] * n_axes
+    # peel small prime factors onto expert/model first (at most 2 each),
+    # give the rest to data
+    remaining = n
+    for axis in (1, 2):  # expert, model
+        if remaining % 2 == 0 and remaining > 2:
+            shape[axis] = 2
+            remaining //= 2
+    shape[0] = remaining
+    return tuple(shape)
+
+
+def create_mesh(
+    devices: Optional[Sequence[Any]] = None,
+    mesh_shape: Optional[Tuple[int, ...]] = None,
+    axis_names: Tuple[str, ...] = AXES,
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if mesh_shape is None:
+        mesh_shape = _factorize(n, len(axis_names))
+    if int(np.prod(mesh_shape)) != n:
+        raise ValueError(f"mesh shape {mesh_shape} != {n} devices")
+    dev_array = np.asarray(devices).reshape(mesh_shape)
+    return Mesh(dev_array, axis_names)
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading batch dim over the data axis; replicate the rest."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def _divisible(dim: int, mesh: Mesh, axis: str) -> bool:
+    return dim % mesh.shape[axis] == 0
+
+
+def param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
+    """Path-based sharding rule for one parameter.
+
+    Rules:
+    * stacked MoE expert weights ``(E, D, F)`` → P('expert', None, 'model')
+      when divisible — expert parallelism + tensor parallelism.
+    * hash tables ``(L, T, F)`` → shard the table dim over 'model'
+      (each is MBs; gathers stay local to the shard owner under SPMD).
+    * large 2-D kernels → shard the bigger dim over 'model'.
+    * everything else replicated.
+    """
+    leaf = path.split("/")[-1]
+    if leaf in ("w_gate", "w_up", "w_down") and len(shape) == 3:
+        spec = [None, None, None]
+        if _divisible(shape[0], mesh, "expert"):
+            spec[0] = "expert"
+        # shard the F dim (w_gate/w_up: axis 2; w_down: axis 1)
+        f_axis = 1 if leaf == "w_down" else 2
+        if _divisible(shape[f_axis], mesh, "model"):
+            spec[f_axis] = "model"
+        return P(*spec)
+    if leaf == "tables" and len(shape) == 3:
+        if _divisible(shape[1], mesh, "model"):
+            return P(None, "model", None)
+        return P()
+    if leaf == "kernel" and len(shape) == 2 and min(shape) >= 128:
+        if shape[1] >= shape[0] and _divisible(shape[1], mesh, "model"):
+            return P(None, "model")
+        if _divisible(shape[0], mesh, "model"):
+            return P("model", None)
+        return P()
+    if leaf == "embedding" and len(shape) == 2:
+        if _divisible(shape[1], mesh, "model"):
+            return P(None, "model")
+        return P()
+    return P()
+
+
+def make_param_shardings(params: Any, mesh: Mesh) -> Any:
+    """Build a NamedSharding pytree matching ``params``."""
+
+    flat = jax.tree_util.tree_flatten_with_path(params)
+    specs = {}
+    out_flat = []
+    for keypath, leaf in flat[0]:
+        path = "/".join(
+            getattr(k, "key", getattr(k, "name", str(k))) for k in keypath
+        )
+        spec = param_spec(path, tuple(leaf.shape), mesh)
+        specs[path] = spec
+        out_flat.append(NamedSharding(mesh, spec))
+    return jax.tree_util.tree_unflatten(flat[1], out_flat)
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a parameter pytree onto the mesh per the rules."""
+    shardings = make_param_shardings(params, mesh)
+    return jax.tree_util.tree_map(jax.device_put, params, shardings)
+
+
+def shard_batch(batch: Any, mesh: Mesh) -> Any:
+    """Place a batch pytree with the leading dim over 'data'."""
+    bs = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, bs), batch)
+
+
+def process_local_batch_indices(
+    n_total: int, process_index: Optional[int] = None, process_count: Optional[int] = None
+):
+    """DistributedSampler equivalent: contiguous shard of indices per host
+    (reference: hpc/train_distrbuted.py:176-190)."""
+    pi = process_index if process_index is not None else jax.process_index()
+    pc = process_count if process_count is not None else jax.process_count()
+    per = int(math.ceil(n_total / pc))
+    start = pi * per
+    return np.arange(start, min(start + per, n_total))

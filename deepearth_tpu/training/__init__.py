@@ -1,0 +1,41 @@
+"""Training layer: masking, losses, metrics, trainer."""
+
+from .losses import (
+    LossWeights,
+    clip_contrastive_loss,
+    deepearth_loss,
+    species_contrastive_loss,
+)
+from .masking import mae_patch_mask, mlm_token_mask, sample_masks
+from .metrics import (
+    MetricAccumulator,
+    coordinate_error_meters,
+    format_epoch_line,
+    time_error_hours,
+)
+from .trainer import (
+    TrainState,
+    Trainer,
+    create_optimizer,
+    make_eval_step,
+    make_train_step,
+)
+
+__all__ = [
+    "LossWeights",
+    "clip_contrastive_loss",
+    "deepearth_loss",
+    "species_contrastive_loss",
+    "mae_patch_mask",
+    "mlm_token_mask",
+    "sample_masks",
+    "MetricAccumulator",
+    "coordinate_error_meters",
+    "format_epoch_line",
+    "time_error_hours",
+    "TrainState",
+    "Trainer",
+    "create_optimizer",
+    "make_eval_step",
+    "make_train_step",
+]

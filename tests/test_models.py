@@ -1,0 +1,357 @@
+"""Model-layer tests: Grid4D, dense transformer, MLA/MoE blocks, fusion, and
+the integrated DeepEarthModel (mirrors reference test strategy:
+tests/test_intergrated_model.py + examples/quick_test.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepearth_tpu.configs import (
+    DeepSeekBlockConfig,
+    FusionConfig,
+    Grid4DConfig,
+    MLAConfig,
+    ModalityConfig,
+    MoEConfig,
+    TransformerConfig,
+    tiny_config,
+)
+from deepearth_tpu.models import (
+    CrossModalFusion,
+    DeepEarthModel,
+    DeepSeekTransformer,
+    Grid4DEncoder,
+    HierarchicalFusion,
+    MLAttention,
+    ModalityEncoder,
+    MoELayer,
+    Transformer,
+    UniversalTokenEncoder,
+)
+
+
+def small_grid_cfg(**kw):
+    return Grid4DConfig(
+        n_spatial_levels=4, n_temporal_levels=2, n_features_per_level=2,
+        hash_table_size=2 ** 10, **kw,
+    )
+
+
+class TestGrid4D:
+    def test_forward_shape(self):
+        cfg = small_grid_cfg()
+        mod = Grid4DEncoder(cfg, hidden_dim=32)
+        xyzt = jax.random.uniform(jax.random.PRNGKey(0), (8, 4))
+        params = mod.init(jax.random.PRNGKey(1), xyzt)
+        out = mod.apply(params, xyzt)
+        assert out.shape == (8, 32)
+
+    def test_masking_zeroes_features(self):
+        """Masked spatial coords must not influence the output
+        (reference semantics: models/encoders.py:73-79)."""
+        cfg = small_grid_cfg()
+        mod = Grid4DEncoder(cfg, hidden_dim=16)
+        key = jax.random.PRNGKey(2)
+        xyzt1 = jax.random.uniform(key, (4, 4))
+        xyzt2 = xyzt1.at[:, :3].set(jax.random.uniform(jax.random.PRNGKey(3), (4, 3)))
+        params = mod.init(jax.random.PRNGKey(4), xyzt1)
+        mask = jnp.zeros(4, bool)
+        out1 = mod.apply(params, xyzt1, mask, None)
+        out2 = mod.apply(params, xyzt2, mask, None)
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-6)
+
+    def test_decompositions(self):
+        cfg = small_grid_cfg(use_decompositions=True)
+        mod = Grid4DEncoder(cfg, hidden_dim=32)
+        xyzt = jax.random.uniform(jax.random.PRNGKey(0), (4, 4))
+        params = mod.init(jax.random.PRNGKey(1), xyzt)
+        out = mod.apply(params, xyzt)
+        assert out.shape == (4, 32)
+        # decomposition tables exist
+        assert "xyt" in params["params"]
+        assert "yzt" in params["params"]
+        assert "xzt" in params["params"]
+
+
+class TestTransformer:
+    def test_forward_and_mask(self):
+        cfg = TransformerConfig(hidden_dim=32, n_heads=4, n_layers=2)
+        mod = Transformer(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 32))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        out = mod.apply(params, x)
+        assert out.shape == (2, 5, 32)
+        mask = jnp.array([[True] * 5, [True, True, False, False, False]])
+        out_m = mod.apply(params, x, mask)
+        assert np.isfinite(np.asarray(out_m)).all()
+
+    def test_gated_mlp_variant(self):
+        cfg = TransformerConfig(
+            hidden_dim=32, n_heads=4, n_layers=1, use_gated_mlp=True,
+            rope_variant="half",
+        )
+        mod = Transformer(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 3, 32))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        assert "gate_proj" in str(jax.tree_util.tree_structure(params))
+        assert mod.apply(params, x).shape == (2, 3, 32)
+
+
+class TestModalityEncoder:
+    def test_forward(self):
+        enc_cfg = TransformerConfig(hidden_dim=16, n_heads=4, n_layers=1)
+        mod = ModalityEncoder(input_dim=7, output_dim=32, encoder_cfg=enc_cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (6, 7))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        out = mod.apply(params, x)
+        assert out.shape == (6, 32)
+
+
+class TestMLA:
+    def _cfg(self, q_lora=None):
+        return MLAConfig(
+            hidden_dim=64, n_heads=4, q_lora_rank=q_lora, kv_lora_rank=16,
+            qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+        )
+
+    @pytest.mark.parametrize("q_lora", [None, 24])
+    def test_forward_shapes(self, q_lora):
+        mod = MLAttention(self._cfg(q_lora))
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 64))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        out = mod.apply(params, x)
+        assert out.shape == (2, 6, 64)
+        names = str(jax.tree_util.tree_structure(params))
+        if q_lora:
+            assert "q_a_proj" in names and "q_b_proj" in names
+        else:
+            assert "q_proj" in names
+
+    def test_gradients_flow(self):
+        mod = MLAttention(self._cfg())
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 64))
+        params = mod.init(jax.random.PRNGKey(1), x)
+
+        def loss(p):
+            return jnp.sum(mod.apply(p, x) ** 2)
+
+        g = jax.grad(loss)(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+        assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+class TestMoELayer:
+    def test_forward_and_aux(self):
+        cfg = MoEConfig(
+            n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+            hidden_dim=32, n_shared_experts=1,
+        )
+        mod = MoELayer(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 6, 32))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        out, state = mod.apply(params, x, mutable=["intermediates"])
+        assert out.shape == x.shape
+        inter = state["intermediates"]
+        assert "moe_aux_loss" in inter
+        assert float(inter["moe_aux_loss"][0]) > 0
+
+    def test_moe_is_differentiable(self):
+        """Unlike the reference (inference-only moe_infer), our MoE trains."""
+        cfg = MoEConfig(
+            n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=16,
+            hidden_dim=16, n_shared_experts=None,
+        )
+        mod = MoELayer(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 8, 16))
+        params = mod.init(jax.random.PRNGKey(1), x)
+
+        def loss(p):
+            return jnp.sum(mod.apply(p, x) ** 2)
+
+        g = jax.grad(loss)(params)
+        gw = g["params"]["w_gate"]
+        assert np.abs(np.asarray(gw)).sum() > 0
+        # router weight receives gradient through the gate weights
+        gr = g["params"]["router_weight"]
+        assert np.abs(np.asarray(gr)).sum() > 0
+
+
+class TestDeepSeekTransformer:
+    def test_dense_moe_layer_pattern(self):
+        cfg = DeepSeekBlockConfig(
+            hidden_dim=32, n_layers=3, intermediate_size=64,
+            mla=MLAConfig(
+                hidden_dim=32, n_heads=2, kv_lora_rank=8, qk_rope_head_dim=4,
+                qk_nope_head_dim=8, v_head_dim=8,
+            ),
+            moe=MoEConfig(
+                n_routed_experts=2, num_experts_per_tok=1,
+                moe_intermediate_size=16, hidden_dim=32,
+            ),
+            first_k_dense_replace=1,
+        )
+        mod = DeepSeekTransformer(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        names = str(jax.tree_util.tree_structure(params))
+        # layer 0 dense, layers 1-2 MoE (first_k_dense_replace=1)
+        assert "'layer_0': {'input_layernorm'" in names or "layer_0" in names
+        p = params["params"]
+        assert "mlp" in p["layer_0"] and "moe" not in p["layer_0"]
+        assert "moe" in p["layer_1"] and "moe" in p["layer_2"]
+        assert mod.apply(params, x, mutable=["intermediates"])[0].shape == x.shape
+
+
+class TestUniversalTokenEncoder:
+    @pytest.mark.parametrize("n_tokens,use_moe", [(1, False), (4, True)])
+    def test_token_generation(self, n_tokens, use_moe):
+        m = ModalityConfig(
+            name="vision", input_dim=24, n_tokens=n_tokens,
+            use_moe_projection=use_moe, encoder_layers=1, encoder_heads=2,
+        )
+        mod = UniversalTokenEncoder(m, universal_dim=32)
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 10, 24))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        out = mod.apply(params, x, mutable=["intermediates"])[0]
+        assert out.shape == (2, n_tokens, 32)
+
+    def test_2d_input_promoted(self):
+        m = ModalityConfig(name="weather", input_dim=5, n_tokens=1,
+                           encoder_layers=1, encoder_heads=2)
+        mod = UniversalTokenEncoder(m, universal_dim=16)
+        x = jax.random.normal(jax.random.PRNGKey(0), (3, 5))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        assert mod.apply(params, x).shape == (3, 1, 16)
+
+
+class TestFusion:
+    def _cfg(self):
+        return FusionConfig(
+            universal_dim=32, num_fusion_layers=2, num_heads=4,
+            cross_attention_freq=2, max_spatial_resolution=8,
+        )
+
+    def test_multi_modality_fusion(self):
+        cfg = self._cfg()
+        names = ("vision", "language", "spacetime")
+        mod = CrossModalFusion(cfg, names)
+        tokens = {
+            "vision": jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32)),
+            "language": jax.random.normal(jax.random.PRNGKey(1), (2, 2, 32)),
+            "spacetime": jax.random.normal(jax.random.PRNGKey(2), (2, 1, 32)),
+        }
+        sp = {"vision": jax.random.uniform(jax.random.PRNGKey(3), (2, 4, 2))}
+        tp = {"vision": jax.random.uniform(jax.random.PRNGKey(4), (2, 4, 1))}
+        params = mod.init(jax.random.PRNGKey(5), tokens, sp, tp)
+        out = mod.apply(params, tokens, sp, tp)
+        assert out["fused_representation"].shape == (2, 32)
+        assert out["all_tokens"].shape == (2, 1 + 4 + 2 + 1, 32)
+        assert out["modality_tokens"]["vision"].shape == (2, 4, 32)
+        assert out["modality_tokens"]["language"].shape == (2, 2, 32)
+
+    def test_single_modality(self):
+        cfg = self._cfg()
+        mod = CrossModalFusion(cfg, ("vision",))
+        tokens = {"vision": jax.random.normal(jax.random.PRNGKey(0), (2, 3, 32))}
+        params = mod.init(jax.random.PRNGKey(1), tokens)
+        out = mod.apply(params, tokens)
+        assert out["all_tokens"].shape == (2, 4, 32)
+
+    def test_hierarchical(self):
+        cfg = self._cfg()
+        mod = HierarchicalFusion(cfg, ("vision",), num_levels=2)
+        tokens = {"vision": jax.random.normal(jax.random.PRNGKey(0), (2, 4, 32))}
+        params = mod.init(jax.random.PRNGKey(1), tokens)
+        out = mod.apply(params, tokens)
+        assert out["fused_representation"].shape == (2, 32)
+        assert len(out["level_representations"]) == 2
+
+
+def make_tiny_batch(key, batch_size=4):
+    keys = jax.random.split(key, 4)
+    return {
+        "xyzt": jax.random.uniform(keys[0], (batch_size, 4)),
+        "modalities": {
+            "species": jax.random.randint(keys[1], (batch_size,), 0, 232),
+        },
+        "modality_masks": {
+            "species": jax.random.bernoulli(keys[2], 0.8, (batch_size,)),
+        },
+        "spatial_mask": jax.random.bernoulli(keys[3], 0.9, (batch_size,)),
+        "temporal_mask": jnp.ones((batch_size,), bool),
+    }
+
+
+class TestDeepEarthModel:
+    def test_tiny_end_to_end(self):
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        params = model.init(jax.random.PRNGKey(1), batch)
+        out = model.apply(params, batch)
+        assert out["reconstructions"]["spatial"].shape == (4, 3)
+        assert out["reconstructions"]["temporal"].shape == (4, 1)
+        assert out["reconstructions"]["species"].shape == (4, 232)
+        assert out["fused_representation"].shape == (4, cfg.fusion.universal_dim)
+        # coordinates decoded through sigmoid are in [0, 1]
+        sp = np.asarray(out["reconstructions"]["spatial"])
+        assert sp.min() >= 0 and sp.max() <= 1
+
+    def test_jit_forward(self):
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        params = model.init(jax.random.PRNGKey(1), batch)
+        f = jax.jit(lambda p, b: model.apply(p, b))
+        out = f(params, batch)
+        assert np.isfinite(np.asarray(out["fused_representation"])).all()
+
+    def test_gradient_flow_through_everything(self):
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        params = model.init(jax.random.PRNGKey(1), batch)
+
+        def loss(p):
+            out = model.apply(p, batch)
+            return (
+                jnp.mean((out["reconstructions"]["spatial"] - batch["xyzt"][:, :3]) ** 2)
+                + jnp.mean(out["reconstructions"]["species"] ** 2)
+            )
+
+        g = jax.grad(loss)(params)
+        flat = jax.tree_util.tree_leaves_with_path(g)
+        nonzero = sum(
+            1 for _, l in flat if np.abs(np.asarray(l)).sum() > 0
+        )
+        assert nonzero > len(flat) * 0.5, f"only {nonzero}/{len(flat)} grads nonzero"
+
+    def test_continuous_modality(self):
+        cfg = tiny_config()
+        cfg.add_modality(
+            ModalityConfig(name="weather", input_dim=5, n_tokens=1,
+                           encoder_layers=1, encoder_heads=2)
+        )
+        model = DeepEarthModel(cfg)
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        batch["modalities"]["weather"] = jax.random.normal(
+            jax.random.PRNGKey(7), (4, 5)
+        )
+        params = model.init(jax.random.PRNGKey(1), batch)
+        out = model.apply(params, batch)
+        assert out["reconstructions"]["weather"].shape == (4, 5)
+
+    def test_mask_token_replaces_masked_modality(self):
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        # identical species, one masked one not
+        batch["modalities"]["species"] = jnp.array([5, 5, 5, 5])
+        batch["modality_masks"]["species"] = jnp.array([True, False, True, False])
+        params = model.init(jax.random.PRNGKey(1), batch)
+        out = model.apply(params, batch)
+        tok = np.asarray(out["input_tokens"]["species"])
+        assert not np.allclose(tok[0], tok[1])
+        np.testing.assert_allclose(tok[1], tok[3])  # both masked → same token

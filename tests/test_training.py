@@ -1,0 +1,148 @@
+"""Training-layer tests: masking, losses, a real train run whose loss must
+decrease, and checkpoint save/restore round trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepearth_tpu.configs import MaskingConfig, ModalityConfig, tiny_config
+from deepearth_tpu.data import SyntheticConfig, SyntheticEarthDataGenerator
+from deepearth_tpu.models import DeepEarthModel
+from deepearth_tpu.training import (
+    LossWeights,
+    MetricAccumulator,
+    Trainer,
+    clip_contrastive_loss,
+    deepearth_loss,
+    format_epoch_line,
+    sample_masks,
+    species_contrastive_loss,
+)
+
+
+class TestMasking:
+    def test_sample_masks_shapes_and_rates(self):
+        cfg = MaskingConfig(spatial_mask_prob=0.5, modality_mask_prob=0.25)
+        masks = sample_masks(
+            jax.random.PRNGKey(0), 4000, ("species", "vision"), cfg
+        )
+        assert masks["spatial_mask"].shape == (4000,)
+        rate = 1.0 - np.asarray(masks["spatial_mask"]).mean()
+        assert 0.45 < rate < 0.55
+        rate_m = 1.0 - np.asarray(masks["modality_masks"]["species"]).mean()
+        assert 0.2 < rate_m < 0.3
+
+    def test_per_modality_probs(self):
+        cfg = MaskingConfig()
+        masks = sample_masks(
+            jax.random.PRNGKey(1), 4000, ("a", "b"), cfg, {"a": 0.9, "b": 0.0}
+        )
+        assert (1 - np.asarray(masks["modality_masks"]["a"]).mean()) > 0.85
+        assert np.asarray(masks["modality_masks"]["b"]).all()
+
+
+class TestLosses:
+    def test_contrastive_identical_embeddings(self):
+        a = jax.random.normal(jax.random.PRNGKey(0), (8, 16))
+        # identical pairs → low loss; random pairs → higher
+        l_same = float(clip_contrastive_loss(a, a, 0.07))
+        b = jax.random.normal(jax.random.PRNGKey(1), (8, 16))
+        l_rand = float(clip_contrastive_loss(a, b, 0.07))
+        assert l_same < l_rand
+
+    def test_species_contrastive(self):
+        emb = jax.random.normal(jax.random.PRNGKey(0), (12, 8))
+        labels = jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3, 4, 4, 5, 5])
+        l = float(species_contrastive_loss(emb, labels, 0.07))
+        assert np.isfinite(l) and l > 0
+        # clustering same-species embeddings tightly lowers the loss
+        proto = jax.random.normal(jax.random.PRNGKey(1), (6, 8))
+        emb2 = proto[labels] + 0.01 * emb
+        l2 = float(species_contrastive_loss(emb2, labels, 0.07))
+        assert l2 < l
+
+    def test_loss_only_on_masked_rows(self):
+        """Rows the model could see must not contribute to the loss."""
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        b = 4
+        batch = {
+            "xyzt": jax.random.uniform(jax.random.PRNGKey(0), (b, 4)),
+            "modalities": {"species": jnp.array([1, 2, 3, 4])},
+            "modality_masks": {"species": jnp.array([True] * b)},  # all visible
+            "spatial_mask": jnp.array([True] * b),
+            "temporal_mask": jnp.array([True] * b),
+        }
+        params = model.init(jax.random.PRNGKey(1), batch)
+        out = model.apply(params, batch)
+        w = LossWeights(contrastive=0.0)
+        total, metrics = deepearth_loss(out, batch, cfg, w)
+        # nothing hidden → all masked-row means are zero
+        assert float(metrics["loss/spatial"]) == 0.0
+        assert float(metrics["loss/species"]) == 0.0
+
+
+def make_iter(gen, cfg, batch_size, steps=None):
+    return gen.batch_iterator(batch_size, modalities=("species",), steps=steps)
+
+
+class TestTrainer:
+    @pytest.fixture(scope="class")
+    def setup(self):
+        cfg = tiny_config()
+        cfg.optimizer.learning_rate = 3e-3
+        cfg.optimizer.warmup_steps = 5
+        cfg.optimizer.total_steps = 100
+        model = DeepEarthModel(cfg)
+        gen = SyntheticEarthDataGenerator(SyntheticConfig())
+        trainer = Trainer(model, cfg, LossWeights(contrastive=0.01))
+        state = trainer.init_state(next(make_iter(gen, cfg, 8, 1)))
+        return cfg, model, gen, trainer, state
+
+    def test_loss_decreases(self, setup):
+        cfg, model, gen, trainer, state = setup
+        it = make_iter(gen, cfg, 16)
+        first_batch = next(it)
+        self_rng = jax.random.PRNGKey(99)
+        _, m0 = trainer.train_step(state, first_batch, self_rng)
+        state2, last = trainer.fit(state, it, num_steps=40, log_every=20)
+        _, m1 = trainer.train_step(state2, first_batch, self_rng)
+        assert float(m1["loss/total"]) < float(m0["loss/total"]), (
+            f"loss did not decrease: {float(m0['loss/total'])} → "
+            f"{float(m1['loss/total'])}"
+        )
+
+    def test_checkpoint_roundtrip(self, setup, tmp_path):
+        cfg, model, gen, _, _ = setup
+        trainer = Trainer(model, cfg, checkpoint_dir=str(tmp_path / "ckpt"))
+        state = trainer.init_state(next(make_iter(gen, cfg, 4, 1)))
+        it = make_iter(gen, cfg, 4)
+        state, _ = trainer.fit(state, it, num_steps=3, log_every=0)
+        trainer.save(state, 3)
+
+        fresh = trainer.init_state(next(make_iter(gen, cfg, 4, 1)))
+        restored = trainer.restore(fresh)
+        # parameters match the trained state, not the fresh one
+        a = jax.tree_util.tree_leaves(state.params)
+        b = jax.tree_util.tree_leaves(restored.params)
+        for x, y in zip(a, b):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y))
+        assert int(restored.step) == 3
+
+    def test_evaluate(self, setup):
+        cfg, model, gen, trainer, state = setup
+        metrics = trainer.evaluate(state, make_iter(gen, cfg, 8, steps=2))
+        assert "loss/total" in metrics
+
+
+class TestMetrics:
+    def test_accumulator_and_format(self):
+        acc = MetricAccumulator()
+        acc.update({"loss/total": jnp.asarray(1.0), "loss/spatial": jnp.asarray(0.5)})
+        acc.update({"loss/total": jnp.asarray(3.0), "loss/spatial": jnp.asarray(1.5)})
+        res = acc.result()
+        assert res["loss/total"] == 2.0
+        line = format_epoch_line(42, res, {"obs/s": 123.4})
+        assert line.startswith("E042")
+        assert "L:2.0000" in line and "obs/s:123.4" in line
