@@ -113,9 +113,10 @@ def make_param_shardings(params: Any, mesh: Mesh) -> Any:
     out_flat = []
     for keypath, leaf in flat[0]:
         path = "/".join(
-            getattr(k, "key", getattr(k, "name", str(k))) for k in keypath
+            str(getattr(k, "key", getattr(k, "name", k))) for k in keypath
         )
-        spec = param_spec(path, tuple(leaf.shape), mesh)
+        shape = tuple(getattr(leaf, "shape", ()))
+        spec = param_spec(path, shape, mesh) if shape else P()
         specs[path] = spec
         out_flat.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(flat[1], out_flat)

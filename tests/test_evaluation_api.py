@@ -1,0 +1,132 @@
+"""Tests for the evaluation layer and the simple DeepEarth API."""
+
+import numpy as np
+import pytest
+
+from deepearth_tpu.api import DeepEarth
+from deepearth_tpu.evaluation import (
+    DeepEarthEvaluator,
+    SpatiotemporalMetrics,
+    binned_rmse,
+    morans_i,
+    temporal_consistency,
+)
+
+
+class TestSpatiotemporalMetrics:
+    def test_morans_i_clustered_vs_random(self):
+        rng = np.random.default_rng(0)
+        coords = rng.random((200, 2))
+        # spatially smooth signal → high Moran's I
+        smooth = np.sin(coords[:, 0] * 6) + np.cos(coords[:, 1] * 6)
+        i_smooth = morans_i(smooth, coords)
+        # random signal → near zero
+        i_rand = morans_i(rng.standard_normal(200), coords)
+        assert i_smooth > 0.5
+        assert abs(i_rand) < 0.2
+
+    def test_temporal_consistency(self):
+        t = np.arange(100.0)
+        smooth = np.sin(t * 0.1)
+        rough = np.random.default_rng(1).standard_normal(100)
+        assert temporal_consistency(smooth, t) < temporal_consistency(rough, t)
+
+    def test_binned_rmse(self):
+        rng = np.random.default_rng(2)
+        true = rng.random(500)
+        # error grows with bin_by value
+        bin_by = rng.random(500)
+        pred = true + bin_by * rng.standard_normal(500) * 0.5
+        out = binned_rmse(pred, true, bin_by, n_bins=5)
+        assert out["rmse"].shape == (5,)
+        assert out["counts"].sum() == 500
+        assert out["rmse"][-1] > out["rmse"][0]
+
+    def test_class_surface(self):
+        rng = np.random.default_rng(3)
+        coords = rng.random((50, 2))
+        vals = rng.random(50)
+        assert np.isfinite(SpatiotemporalMetrics.morans_i(vals, coords))
+        r = SpatiotemporalMetrics.spatial_binned_rmse(vals, vals * 0.9, coords)
+        assert "rmse" in r
+
+
+class TestEvaluator:
+    def test_linear_probe_learns_linear_signal(self):
+        rng = np.random.default_rng(4)
+        feats = rng.standard_normal((400, 16)).astype(np.float32)
+        w_true = rng.standard_normal(16)
+        target = feats @ w_true + 0.01 * rng.standard_normal(400)
+        ev = DeepEarthEvaluator(feature_fn=lambda b: b)
+        res = ev.evaluate_regression(feats, target, steps=500)
+        assert res.metrics["r2"] > 0.95
+
+    def test_classification_probe(self):
+        rng = np.random.default_rng(5)
+        proto = rng.standard_normal((4, 16))
+        labels = rng.integers(0, 4, 400)
+        feats = proto[labels] + 0.1 * rng.standard_normal((400, 16))
+        ev = DeepEarthEvaluator(feature_fn=lambda b: b)
+        res = ev.evaluate_classification(
+            feats.astype(np.float32), labels, n_classes=4, steps=400
+        )
+        assert res.metrics["accuracy"] > 0.9
+        assert res.metrics["f1_macro"] > 0.9
+
+
+class TestDeepEarthAPI:
+    def test_register_predict_roundtrip(self, tmp_path):
+        earth = DeepEarth(hidden_dim=64, n_layers=1)
+        earth.register("temperature", shape=(1,), type="numerical")
+        earth.register("species", type="categorical", num_classes=10)
+        emb = earth.predict(
+            location=(28.5, -81.4),
+            time="2024-06-15",
+            data={"temperature": [22.3], "species": 3},
+        )
+        assert emb.shape == (64,)
+        assert np.isfinite(emb).all()
+
+        # batch prediction with reconstructions
+        emb2, recon = earth.predict_batch(
+            locations=[(28.5, -81.4), (27.9, -82.5)],
+            times=["2024-06-15", "2024-07-01"],
+            data={
+                "temperature": np.array([[22.3], [25.0]]),
+                "species": np.array([3, 7]),
+            },
+            return_reconstructions=True,
+        )
+        assert emb2.shape == (2, 64)
+        assert recon["species"].shape == (2, 10)
+        assert recon["spatial"].shape == (2, 3)
+
+        # save/load round trip preserves predictions
+        earth.save(str(tmp_path / "model"))
+        earth2 = DeepEarth(hidden_dim=64, n_layers=1).load(str(tmp_path / "model"))
+        emb3 = earth2.predict(
+            location=(28.5, -81.4),
+            time="2024-06-15",
+            data={"temperature": [22.3], "species": 3},
+        )
+        np.testing.assert_allclose(emb, emb3, atol=1e-5)
+
+    def test_register_after_build_raises(self):
+        earth = DeepEarth(hidden_dim=64, n_layers=1)
+        earth.register("t", shape=(1,))
+        earth.predict((0.0, 0.0), data={"t": [1.0]})
+        with pytest.raises(RuntimeError):
+            earth.register("late", shape=(2,))
+
+    def test_categorical_requires_classes(self):
+        earth = DeepEarth()
+        with pytest.raises(ValueError):
+            earth.register("bad", type="categorical")
+
+    def test_functional_api(self):
+        from deepearth_tpu import api
+
+        api.init(hidden_dim=64, n_layers=1)
+        api.register("x", shape=(2,))
+        emb = api.predict((10.0, 20.0), data={"x": [1.0, 2.0]})
+        assert emb.shape == (64,)
