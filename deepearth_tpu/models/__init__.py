@@ -1,6 +1,11 @@
 """Model layer: Grid4D encoder, transformers, DeepSeek blocks, fusion,
 decoders, and the integrated DeepEarthModel."""
 
+from .bidirectional import (
+    BidirectionalReconstructor,
+    MultimodalAutoencoder,
+    VisionSequenceDecoder,
+)
 from .decoders import ModalityDecoder, SpatiotemporalDecoder
 from .deepearth import DeepEarthModel
 from .deepseek import (
@@ -28,6 +33,9 @@ from .transformer import (
 )
 
 __all__ = [
+    "BidirectionalReconstructor",
+    "MultimodalAutoencoder",
+    "VisionSequenceDecoder",
     "ModalityDecoder",
     "SpatiotemporalDecoder",
     "DeepEarthModel",

@@ -1,0 +1,309 @@
+"""Dashboard/serving REST API.
+
+Re-implements the reference Flask dashboard's data-service surface
+(reference: dashboard/deepearth_dashboard.py:94-438, ~23 routes) on the
+Python stdlib HTTP server (flask is not in this image). Routes:
+
+  GET  /api/health                    — health/status (services/health_monitoring.py)
+  GET  /api/observations              — observation listing with bbox filter
+  GET  /api/observation/<id>          — single observation
+  GET  /api/species                   — species vocabulary + counts
+  GET  /api/vision_embedding/<id>     — raw mmap-backed embedding (shape+stats)
+  POST /api/training/batch            — ML data service over HTTP
+                                        (services/training_data.py:22-80)
+  POST /api/projection                — 2/3-D embedding projection (UMAP equiv)
+  GET  /api/grid_statistics           — spatial grid aggregation
+  POST /api/predict                   — model inference via the simple API
+
+The server is a thin JSON layer over :class:`DataService`; heavy lifting
+stays in the data layer so the same service powers tests without sockets.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..utils.logging import get_logger
+from ..utils.projection import EmbeddingProjector
+
+logger = get_logger("Server")
+
+
+class DataService:
+    """Backend for the REST routes: observations + embedding store + model."""
+
+    def __init__(
+        self,
+        observations: Optional[Dict[str, np.ndarray]] = None,
+        vision_loader=None,
+        language_loader=None,
+        predictor=None,
+    ):
+        """observations: columns dict with at least gbif_id, lat, lon, species
+        (ints); vision/language loaders: MMapEmbeddingLoader instances;
+        predictor: DeepEarth API instance (optional)."""
+        self.obs = observations or {}
+        self.vision_loader = vision_loader
+        self.language_loader = language_loader
+        self.predictor = predictor
+        self._start_time = time.time()
+        self.request_count = 0
+
+    # -- route implementations ------------------------------------------------ #
+
+    def health(self) -> Dict[str, Any]:
+        return {
+            "status": "healthy",
+            "uptime_s": round(time.time() - self._start_time, 1),
+            "n_observations": len(self.obs.get("gbif_id", [])),
+            "vision_store": (
+                {"n": len(self.vision_loader),
+                 "mean_load_ms": self.vision_loader.mean_load_ms()}
+                if self.vision_loader is not None else None
+            ),
+            "requests": self.request_count,
+        }
+
+    def observations(self, bbox=None, limit: int = 1000) -> Dict[str, Any]:
+        n = len(self.obs.get("gbif_id", []))
+        idx = np.arange(n)
+        if bbox is not None and n:
+            lat, lon = self.obs["lat"], self.obs["lon"]
+            s, w, nn_, e = bbox
+            idx = idx[(lat >= s) & (lat <= nn_) & (lon >= w) & (lon <= e)]
+        idx = idx[:limit]
+        return {
+            "count": int(len(idx)),
+            "observations": [
+                {
+                    "gbif_id": int(self.obs["gbif_id"][i]),
+                    "lat": float(self.obs["lat"][i]),
+                    "lon": float(self.obs["lon"][i]),
+                    "species": int(self.obs["species"][i]),
+                }
+                for i in idx
+            ],
+        }
+
+    def observation(self, gbif_id: int) -> Optional[Dict[str, Any]]:
+        ids = self.obs.get("gbif_id")
+        if ids is None:
+            return None
+        hits = np.nonzero(np.asarray(ids) == gbif_id)[0]
+        if not len(hits):
+            return None
+        i = int(hits[0])
+        out = {k: _to_py(v[i]) for k, v in self.obs.items()}
+        out["has_vision"] = (
+            self.vision_loader is not None and gbif_id in self.vision_loader
+        )
+        return out
+
+    def species(self) -> Dict[str, Any]:
+        sp = np.asarray(self.obs.get("species", []))
+        vals, counts = (
+            np.unique(sp, return_counts=True) if len(sp) else ([], [])
+        )
+        return {
+            "n_species": int(len(vals)),
+            "counts": {int(v): int(c) for v, c in zip(vals, counts)},
+        }
+
+    def vision_embedding(self, gbif_id: int) -> Optional[Dict[str, Any]]:
+        if self.vision_loader is None:
+            return None
+        emb = self.vision_loader.get(gbif_id)
+        if emb is None:
+            return None
+        return {
+            "gbif_id": gbif_id,
+            "shape": list(emb.shape),
+            "mean": float(emb.mean()),
+            "std": float(emb.std()),
+            "data": emb.reshape(-1)[:64].tolist(),  # preview slice
+        }
+
+    def training_batch(self, observation_ids) -> Dict[str, Any]:
+        """ML data service (reference: dashboard/services/training_data.py:22-80)."""
+        ids = [int(i) for i in observation_ids]
+        n = len(ids)
+        id_arr = np.asarray(self.obs.get("gbif_id", []))
+        rows = []
+        for oid in ids:
+            hit = np.nonzero(id_arr == oid)[0]
+            rows.append(int(hit[0]) if len(hit) else -1)
+        rows = np.asarray(rows)
+        ok = rows >= 0
+        safe = np.where(ok, rows, 0)
+
+        out: Dict[str, Any] = {
+            "observation_ids": ids,
+            "found": ok.tolist(),
+            "species": np.where(
+                ok, np.asarray(self.obs["species"])[safe], -1
+            ).tolist(),
+            "locations": np.stack(
+                [
+                    np.where(ok, np.asarray(self.obs["lat"])[safe], 0.0),
+                    np.where(ok, np.asarray(self.obs["lon"])[safe], 0.0),
+                    np.where(ok, np.asarray(self.obs.get("alt", np.zeros(len(id_arr))))[safe], 0.0),
+                ],
+                axis=-1,
+            ).tolist(),
+        }
+        if "t_norm" in self.obs:
+            out["timestamps"] = np.where(
+                ok, np.asarray(self.obs["t_norm"])[safe], 0.0
+            ).tolist()
+        if self.vision_loader is not None:
+            vis, found = self.vision_loader.get_batch(ids)
+            out["vision_shape"] = list(vis.shape)
+            out["vision_found"] = found.tolist()
+        if self.language_loader is not None:
+            lang, found = self.language_loader.get_batch(ids)
+            out["language_shape"] = list(lang.shape)
+            out["language_found"] = found.tolist()
+        return out
+
+    def projection(self, embeddings, n_components: int = 3) -> Dict[str, Any]:
+        proj = EmbeddingProjector(n_components=n_components).fit_transform(
+            np.asarray(embeddings, np.float32)
+        )
+        return {"projection": proj.tolist(), "n_components": n_components}
+
+    def grid_statistics(self, n_bins: int = 10) -> Dict[str, Any]:
+        """Spatial observation-count grid (reference: data_cache.py grid stats)."""
+        if not len(self.obs.get("lat", [])):
+            return {"grid": [], "n_bins": n_bins}
+        lat, lon = np.asarray(self.obs["lat"]), np.asarray(self.obs["lon"])
+        h, xe, ye = np.histogram2d(lat, lon, bins=n_bins)
+        return {
+            "grid": h.astype(int).tolist(),
+            "lat_edges": xe.tolist(),
+            "lon_edges": ye.tolist(),
+            "n_bins": n_bins,
+        }
+
+    def predict(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        if self.predictor is None:
+            raise ValueError("no predictor configured")
+        emb = self.predictor.predict(
+            tuple(payload["location"]),
+            payload.get("time"),
+            payload.get("data", {}),
+        )
+        return {"embedding": np.asarray(emb).tolist()}
+
+
+def _to_py(v):
+    if isinstance(v, (np.integer,)):
+        return int(v)
+    if isinstance(v, (np.floating,)):
+        return float(v)
+    if isinstance(v, np.ndarray):
+        return v.tolist()
+    return v
+
+
+def make_handler(service: DataService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route to our logger
+            logger.debug(fmt % args)
+
+        def _send(self, code: int, payload: Any) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            service.request_count += 1
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            q = parse_qs(url.query)
+            try:
+                if parts == ["api", "health"]:
+                    return self._send(200, service.health())
+                if parts == ["api", "observations"]:
+                    bbox = None
+                    if "bbox" in q:  # bbox=s,w,n,e
+                        bbox = [float(x) for x in q["bbox"][0].split(",")]
+                    limit = int(q.get("limit", ["1000"])[0])
+                    return self._send(200, service.observations(bbox, limit))
+                if len(parts) == 3 and parts[:2] == ["api", "observation"]:
+                    obs = service.observation(int(parts[2]))
+                    if obs is None:
+                        return self._send(404, {"error": "not found"})
+                    return self._send(200, obs)
+                if parts == ["api", "species"]:
+                    return self._send(200, service.species())
+                if len(parts) == 3 and parts[:2] == ["api", "vision_embedding"]:
+                    emb = service.vision_embedding(int(parts[2]))
+                    if emb is None:
+                        return self._send(404, {"error": "not found"})
+                    return self._send(200, emb)
+                if parts == ["api", "grid_statistics"]:
+                    n_bins = int(q.get("n_bins", ["10"])[0])
+                    return self._send(200, service.grid_statistics(n_bins))
+                return self._send(404, {"error": f"unknown route {url.path}"})
+            except Exception as e:  # route errors → 500 JSON, not a stack dump
+                return self._send(500, {"error": str(e)})
+
+        def do_POST(self):
+            service.request_count += 1
+            url = urlparse(self.path)
+            parts = [p for p in url.path.split("/") if p]
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if parts == ["api", "training", "batch"]:
+                    return self._send(
+                        200, service.training_batch(payload["observation_ids"])
+                    )
+                if parts == ["api", "projection"]:
+                    return self._send(
+                        200,
+                        service.projection(
+                            payload["embeddings"],
+                            payload.get("n_components", 3),
+                        ),
+                    )
+                if parts == ["api", "predict"]:
+                    return self._send(200, service.predict(payload))
+                return self._send(404, {"error": f"unknown route {url.path}"})
+            except KeyError as e:
+                return self._send(400, {"error": f"missing field {e}"})
+            except Exception as e:
+                return self._send(500, {"error": str(e)})
+
+    return Handler
+
+
+class DashboardServer:
+    """Threaded HTTP server wrapper with start/stop."""
+
+    def __init__(self, service: DataService, host: str = "127.0.0.1", port: int = 0):
+        self._httpd = ThreadingHTTPServer((host, port), make_handler(service))
+        self.host, self.port = self._httpd.server_address
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "DashboardServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        logger.info(f"dashboard serving on http://{self.host}:{self.port}")
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()

@@ -13,6 +13,12 @@ from .metrics import (
     format_epoch_line,
     time_error_hours,
 )
+from .recipes import (
+    create_vision_decoder_finetune_state,
+    frozen_optimizer,
+    make_autoencoder_step,
+    make_bidirectional_step,
+)
 from .trainer import (
     TrainState,
     Trainer,
@@ -22,6 +28,10 @@ from .trainer import (
 )
 
 __all__ = [
+    "create_vision_decoder_finetune_state",
+    "frozen_optimizer",
+    "make_autoencoder_step",
+    "make_bidirectional_step",
     "LossWeights",
     "clip_contrastive_loss",
     "deepearth_loss",
