@@ -2,6 +2,17 @@
 train/test splits."""
 
 from .batches import collate_observations, device_prefetch, threaded_producer
+from .observations import (
+    DatasetConfig,
+    ObservationDataset,
+    UnifiedDataCache,
+    VJEPA2_SHAPE,
+    image_level_mean,
+    reshape_vision_embedding,
+    spatial_attention_map,
+    spatial_patch,
+    temporal_frame,
+)
 from .mmap_store import (
     MMapEmbeddingLoader,
     MMapEmbeddingWriter,
@@ -21,6 +32,15 @@ from .synthetic import (
 )
 
 __all__ = [
+    "DatasetConfig",
+    "ObservationDataset",
+    "UnifiedDataCache",
+    "VJEPA2_SHAPE",
+    "image_level_mean",
+    "reshape_vision_embedding",
+    "spatial_attention_map",
+    "spatial_patch",
+    "temporal_frame",
     "collate_observations",
     "device_prefetch",
     "threaded_producer",

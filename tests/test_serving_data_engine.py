@@ -1,0 +1,275 @@
+"""Tests for the observation data engine, REST serving layer, and training
+recipes (C-stack equivalents)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from deepearth_tpu.data import (
+    ObservationDataset,
+    UnifiedDataCache,
+    DatasetConfig,
+    convert_arrays_to_store,
+    image_level_mean,
+    reshape_vision_embedding,
+    spatial_attention_map,
+    spatial_patch,
+    temporal_frame,
+)
+from deepearth_tpu.models import (
+    BidirectionalReconstructor,
+    MultimodalAutoencoder,
+    VisionSequenceDecoder,
+)
+from deepearth_tpu.serving import DashboardClient, DashboardServer, DataService
+from deepearth_tpu.training import (
+    TrainState,
+    create_optimizer,
+    create_vision_decoder_finetune_state,
+    make_autoencoder_step,
+    make_bidirectional_step,
+)
+from deepearth_tpu.configs import OptimizerConfig
+
+
+def make_dataset(n=50, seed=0):
+    rng = np.random.default_rng(seed)
+    return ObservationDataset.from_arrays(
+        gbif_id=np.arange(1000, 1000 + n),
+        species=rng.choice(["Quercus", "Pinus", "Acer"], n),
+        latitude=28.03 + rng.random(n) * 0.9,
+        longitude=-81.93 + rng.random(n) * 1.0,
+        altitude=rng.random(n) * 50,
+        year=rng.integers(2010, 2026, n),
+        month=rng.integers(1, 13, n),
+    )
+
+
+class TestVisionReshape:
+    def test_reshape_helpers(self):
+        flat = np.arange(8 * 4 * 4 * 6, dtype=np.float32)
+        emb = flat.reshape(8, 4, 4, 6)
+        assert temporal_frame(emb, 2).shape == (4, 4, 6)
+        assert spatial_patch(emb, 1, 3).shape == (8, 6)
+        assert image_level_mean(emb).shape == (6,)
+        assert spatial_attention_map(emb).shape == (4, 4)
+
+    def test_full_vjepa2_shape(self):
+        flat = np.zeros(6488064, np.float32)
+        assert reshape_vision_embedding(flat).shape == (8, 24, 24, 1408)
+
+
+class TestObservationDataset:
+    def test_species_vocab(self):
+        ds = make_dataset()
+        assert ds.n_species == 3
+        assert ds.species_vocab == ["Acer", "Pinus", "Quercus"]
+        assert ds.df["species_idx"].max() <= 2
+
+    def test_normalized_xyzt(self):
+        ds = make_dataset()
+        xyzt = ds.normalized_xyzt(
+            bbox=(28.03, -81.93, 28.98, -80.90), year_range=(2010, 2026)
+        )
+        assert xyzt.shape == (50, 4)
+        assert xyzt.min() >= 0 and xyzt.max() <= 1
+
+    def test_parquet_roundtrip(self, tmp_path):
+        ds = make_dataset()
+        p = str(tmp_path / "obs.parquet")
+        ds.df.drop(columns=["species_idx"]).to_parquet(p)
+        ds2 = ObservationDataset.from_parquet(p)
+        assert len(ds2) == len(ds)
+        assert ds2.row_for_id(1005) == 5
+
+
+class TestUnifiedCache:
+    def test_training_batch(self, tmp_path):
+        ds = make_dataset(20)
+        rng = np.random.default_rng(1)
+        ids = ds.df["gbif_id"].to_numpy()[:10]
+        vis = rng.standard_normal((10, 4, 6, 6, 8)).astype(np.float32)
+        lang = rng.standard_normal((10, 16)).astype(np.float32)
+        vloader = convert_arrays_to_store(str(tmp_path / "v"), ids, vis)
+        lloader = convert_arrays_to_store(str(tmp_path / "l"), ids, lang)
+        cache = UnifiedDataCache(
+            ds, DatasetConfig(cache_size=4), vloader, lloader
+        )
+        batch = cache.get_training_batch(ids[:4])
+        assert batch["xyzt"].shape == (4, 4)
+        assert batch["modalities"]["species"].shape == (4,)
+        # 4D+ vision flattened to (B, S, C)
+        assert batch["modalities"]["vision"].shape == (4, 4 * 6 * 6, 8)
+        assert batch["modalities"]["language"].shape == (4, 16)
+        # LRU cache works
+        _ = cache.get_vision_embedding(int(ids[0]))
+        assert len(cache._vision_cache) <= 4
+        # unknown id raises
+        with pytest.raises(KeyError):
+            cache.get_training_batch([999999])
+
+    def test_pooled_vision(self, tmp_path):
+        ds = make_dataset(5)
+        ids = ds.df["gbif_id"].to_numpy()[:5]
+        vis = np.ones((5, 2, 3, 3, 4), np.float32)
+        vloader = convert_arrays_to_store(str(tmp_path / "v2"), ids, vis)
+        cache = UnifiedDataCache(ds, DatasetConfig(), vloader, None)
+        batch = cache.get_training_batch(ids, pool_vision=True)
+        assert batch["modalities"]["vision"].shape == (5, 4)
+
+
+@pytest.fixture(scope="module")
+def server():
+    ds = make_dataset(30)
+    cols = ds.columns()
+    service = DataService(observations=cols)
+    srv = DashboardServer(service, port=0).start()
+    yield srv, cols
+    srv.stop()
+
+
+class TestServing:
+    def test_health(self, server):
+        srv, cols = server
+        c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+        h = c.health()
+        assert h["status"] == "healthy"
+        assert h["n_observations"] == 30
+
+    def test_observations_bbox_filter(self, server):
+        srv, cols = server
+        c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+        all_obs = c.observations()
+        assert all_obs["count"] == 30
+        tiny = c.observations(bbox=(28.03, -81.93, 28.10, -81.80))
+        assert tiny["count"] < 30
+
+    def test_single_observation_and_404(self, server):
+        srv, cols = server
+        c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+        obs = c.observation(int(cols["gbif_id"][0]))
+        assert obs["gbif_id"] == int(cols["gbif_id"][0])
+        import urllib.error
+
+        with pytest.raises(urllib.error.HTTPError):
+            c.observation(42)
+
+    def test_species_route(self, server):
+        srv, _ = server
+        c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+        sp = c.species()
+        assert sp["n_species"] == 3
+
+    def test_training_batch_route(self, server):
+        srv, cols = server
+        c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+        ids = [int(i) for i in cols["gbif_id"][:5]]
+        out = c.training_batch(ids)
+        assert out["found"] == [True] * 5
+        assert len(out["locations"]) == 5
+        bench = c.benchmark_training_batch(ids, runs=3)
+        assert bench["p50_ms"] > 0
+
+    def test_projection_route(self, server):
+        srv, _ = server
+        c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+        emb = np.random.default_rng(0).standard_normal((20, 8))
+        proj = c.projection(emb, n_components=2)
+        assert proj.shape == (20, 2)
+
+    def test_grid_statistics(self, server):
+        srv, _ = server
+        c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+        g = c._get("/api/grid_statistics?n_bins=5")
+        assert np.asarray(g["grid"]).shape == (5, 5)
+        assert np.asarray(g["grid"]).sum() == 30
+
+
+class TestRecipes:
+    def test_bidirectional_step_trains(self):
+        model = BidirectionalReconstructor(
+            vision_dim=16, language_dim=24, hidden_dim=32
+        )
+        rng = jax.random.PRNGKey(0)
+        batch = {
+            "vision": jax.random.normal(rng, (8, 5, 16)),
+            "language": jax.random.normal(jax.random.PRNGKey(1), (8, 24)),
+        }
+        params = model.init(
+            jax.random.PRNGKey(2), vision=batch["vision"], language=batch["language"]
+        )["params"]
+        cfg = OptimizerConfig(learning_rate=1e-2, warmup_steps=1, total_steps=50)
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=create_optimizer(cfg)
+        )
+        step = jax.jit(make_bidirectional_step(model))
+        _, m0 = step(state, batch, jax.random.PRNGKey(3))
+        for i in range(15):
+            state, m = step(state, batch, jax.random.PRNGKey(4 + i))
+        assert float(m["loss/total"]) < float(m0["loss/total"])
+
+    def test_autoencoder_step_with_contrastive(self):
+        model = MultimodalAutoencoder(
+            vision_dim=16, language_dim=24, bottleneck_dim=8,
+            n_species=4, hidden_dim=32,
+        )
+        rng = jax.random.PRNGKey(0)
+        batch = {
+            "vision": jax.random.normal(rng, (8, 16)),
+            "language": jax.random.normal(jax.random.PRNGKey(1), (8, 24)),
+            "species": jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3]),
+        }
+        params = model.init(
+            jax.random.PRNGKey(2), vision=batch["vision"], language=batch["language"]
+        )["params"]
+        cfg = OptimizerConfig(learning_rate=1e-2, warmup_steps=1, total_steps=50)
+        state = TrainState.create(
+            apply_fn=model.apply, params=params, tx=create_optimizer(cfg)
+        )
+        step = jax.jit(make_autoencoder_step(model))
+        _, m0 = step(state, batch, jax.random.PRNGKey(3))
+        assert "loss/contrastive" in m0
+        for i in range(15):
+            state, m = step(state, batch, jax.random.PRNGKey(4 + i))
+        assert float(m["loss/total"]) < float(m0["loss/total"])
+
+    def test_vision_decoder_finetune_freezes(self):
+        model = BidirectionalReconstructor(
+            vision_dim=16, language_dim=24, hidden_dim=32
+        )
+        batch = {
+            "vision": jax.random.normal(jax.random.PRNGKey(0), (4, 16)),
+            "language": jax.random.normal(jax.random.PRNGKey(1), (4, 24)),
+        }
+        params = model.init(
+            jax.random.PRNGKey(2), vision=batch["vision"], language=batch["language"]
+        )["params"]
+        state = create_vision_decoder_finetune_state(
+            model, params,
+            OptimizerConfig(learning_rate=1e-2, warmup_steps=0, total_steps=10),
+        )
+        step = jax.jit(make_bidirectional_step(model))
+        before = jax.tree_util.tree_map(np.asarray, state.params)
+        state, _ = step(state, batch, jax.random.PRNGKey(3))
+        after = state.params
+        # frozen branch unchanged
+        np.testing.assert_allclose(
+            np.asarray(after["vision_to_language"]["fc0"]["kernel"]),
+            before["vision_to_language"]["fc0"]["kernel"],
+        )
+        # trained branch changed
+        assert not np.allclose(
+            np.asarray(after["language_to_vision"]["fc0"]["kernel"]),
+            before["language_to_vision"]["fc0"]["kernel"],
+        )
+
+    def test_vision_sequence_decoder_shape(self):
+        dec = VisionSequenceDecoder(
+            grid=(2, 3, 3), channels=8, hidden_dim=16, n_heads=2, n_layers=1
+        )
+        cond = jax.random.normal(jax.random.PRNGKey(0), (2, 12))
+        params = dec.init(jax.random.PRNGKey(1), cond)
+        out = dec.apply(params, cond)
+        assert out.shape == (2, 2, 3, 3, 8)
