@@ -77,6 +77,13 @@ def hash_encode(
 ) -> jnp.ndarray:
     """Encode continuous coordinates with a multi-level hash grid.
 
+    TPU layout notes: every intermediate is laid out ``(L, N)`` (levels in
+    sublanes, points in lanes) — tensors with a trailing dim of D=3 or F=2
+    get padded to 128 lanes by XLA, a 40-60x memory blowup that makes the
+    naive formulation gather-bound and OOM-prone. For F=2 both features are
+    packed into one complex64 so each point costs a single gather
+    transaction; general F falls back to a transposed (F, L*T) gather.
+
     Args:
         coords: (..., D) coordinates, typically normalized to [0, 1].
         tables: (L, T, F) feature tables for all levels.
@@ -92,37 +99,62 @@ def hash_encode(
     table_size = table_size or T
     D = coords.shape[-1]
     batch_shape = coords.shape[:-1]
+    n = int(np.prod(batch_shape)) if batch_shape else 1
 
-    # (..., L, D): coordinates scaled per level.
-    scaled = coords[..., None, :].astype(jnp.float32) * resolutions.astype(
-        jnp.float32
-    )[:, None]
-    grid = jnp.floor(scaled).astype(jnp.int32)
+    # per-dimension rows: coords_d (N,), everything below is (L, N)
+    flat = coords.reshape(n, D).astype(jnp.float32)
+    res = resolutions.astype(jnp.float32)[:, None]  # (L, 1)
+    scaled = [res * flat[:, d][None, :] for d in range(D)]  # D × (L, N)
+    grid = [jnp.floor(s).astype(jnp.int32) for s in scaled]
 
-    tables_flat = tables.reshape(L * T, F)
-    level_offset = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))
+    level_offset = (jnp.arange(L, dtype=jnp.uint32) * jnp.uint32(T))[:, None]
+    pow2 = table_size & (table_size - 1) == 0
+
+    def corner_index(bits) -> jnp.ndarray:
+        """(L, N) uint32 flat table index for corner offset ``bits``."""
+        h = (grid[0] + bits[0]).astype(jnp.uint32) * jnp.uint32(HASH_PRIMES[0])
+        for d in range(1, D):
+            h = h ^ (
+                (grid[d] + bits[d]).astype(jnp.uint32) * jnp.uint32(HASH_PRIMES[d])
+            )
+        if pow2:
+            h = h & jnp.uint32(table_size - 1)
+        else:
+            h = h % jnp.uint32(table_size)
+        return (h + level_offset).astype(jnp.int32)
+
+    if F == 2:
+        # pack feature pairs: one gather transaction fetches both features
+        tflat = tables.reshape(L * T, 2)
+        packed = jax.lax.complex(tflat[:, 0], tflat[:, 1])  # (L*T,) c64
+
+        def fetch(idx):  # (L, N) → (F, L, N)
+            g = packed[idx]
+            return jnp.stack([jnp.real(g), jnp.imag(g)])
+    else:
+        tflat_t = tables.reshape(L * T, F).T  # (F, L*T)
+
+        def fetch(idx):  # (L, N) → (F, L, N)
+            return jnp.take(tflat_t, idx, axis=1)
 
     if interpolation == "nearest":
-        idx = hash_grid_indices(grid, table_size, D)  # (..., L)
-        flat_idx = (idx + level_offset).astype(jnp.int32)
-        feats = tables_flat[flat_idx]  # (..., L, F)
-        return feats.reshape(*batch_shape, L * F)
+        feats = fetch(corner_index((0,) * D))  # (F, L, N)
+        # → (N, L, F) → (N, L*F)
+        out = feats.transpose(2, 1, 0).reshape(n, L * F)
+        return out.reshape(*batch_shape, L * F)
 
     if interpolation != "linear":
         raise ValueError(f"unknown interpolation {interpolation!r}")
 
-    offsets = jnp.asarray(_corner_offsets(D))  # (C, D), C = 2^D
-    corners = grid[..., None, :] + offsets  # (..., L, C, D)
-    idx = hash_grid_indices(corners, table_size, D)  # (..., L, C)
-    flat_idx = (idx + level_offset[:, None]).astype(jnp.int32)
-    feats = tables_flat[flat_idx]  # (..., L, C, F)
+    frac = [s - jnp.floor(s) for s in scaled]  # D × (L, N)
+    acc = jnp.zeros((F, L, n), jnp.float32)
+    for bits in _corner_offsets(D):
+        w = jnp.ones((L, n), jnp.float32)
+        for d in range(D):
+            w = w * (frac[d] if bits[d] else 1.0 - frac[d])
+        acc = acc + w[None] * fetch(corner_index(tuple(bits)))
 
-    frac = scaled - jnp.floor(scaled)  # (..., L, D)
-    # weight per corner: prod_d (offset_d ? frac_d : 1-frac_d)
-    w = jnp.where(
-        offsets.astype(bool), frac[..., None, :], 1.0 - frac[..., None, :]
-    ).prod(axis=-1)  # (..., L, C)
-    out = jnp.sum(w[..., None] * feats, axis=-2)  # (..., L, F)
+    out = acc.transpose(2, 1, 0).reshape(n, L * F)
     return out.reshape(*batch_shape, L * F)
 
 

@@ -1,6 +1,23 @@
-"""Serving layer: REST data service + client."""
+"""Serving layer: REST data service, dashboard client, language embedding
+service."""
 
 from .client import DashboardClient
+from .language_server import (
+    HashEmbedder,
+    HFEmbedder,
+    LanguageClient,
+    LanguageEmbeddingService,
+    LanguageServer,
+)
 from .server import DashboardServer, DataService
 
-__all__ = ["DashboardClient", "DashboardServer", "DataService"]
+__all__ = [
+    "DashboardClient",
+    "DashboardServer",
+    "DataService",
+    "HashEmbedder",
+    "HFEmbedder",
+    "LanguageClient",
+    "LanguageEmbeddingService",
+    "LanguageServer",
+]

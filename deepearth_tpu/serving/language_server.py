@@ -1,0 +1,204 @@
+"""Language embedding service: /embed, /tokenize, /health
+(reference: encoders/language/server.py:31-50 + client.py:14).
+
+The reference serves DeepSeek-V3 embeddings (7168-d) from a llama.cpp GGUF
+build needing 300-400 GB RAM (reference: encoders/language/README.md:18-31).
+Here the embedder is pluggable:
+
+* :class:`HFEmbedder` — any HF transformers checkpoint (token embeddings +
+  masked-mean pooling, matching LanguageModelExtractor semantics,
+  reference: encoders/modality_infrastructure.py:192-308).
+* :class:`HashEmbedder` — deterministic hash-based embedding for tests and
+  air-gapped environments: stable across processes, unit-norm, any dim.
+
+Requests are serialized with a model lock, matching the reference server's
+concurrency discipline (reference: encoders/language/server.py:27).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..utils.logging import get_logger
+
+logger = get_logger("LanguageServer")
+
+
+class HashEmbedder:
+    """Deterministic text → unit-norm embedding; same text → same vector."""
+
+    def __init__(self, dim: int = 7168):
+        self.dim = dim
+
+    def tokenize(self, text: str) -> List[int]:
+        return [
+            int.from_bytes(
+                hashlib.blake2b(w.encode(), digest_size=4).digest(), "little"
+            )
+            % 50_000
+            for w in text.split()
+        ]
+
+    def embed(self, text: str) -> np.ndarray:
+        seed = int.from_bytes(
+            hashlib.blake2b(text.encode(), digest_size=8).digest(), "little"
+        )
+        rng = np.random.default_rng(seed)
+        v = rng.standard_normal(self.dim).astype(np.float32)
+        return v / (np.linalg.norm(v) + 1e-8)
+
+
+class HFEmbedder:
+    """Frozen HF LM embeddings with masked-mean pooling
+    (reference: encoders/modality_infrastructure.py:192-308)."""
+
+    def __init__(self, model_name: str, device: str = "cpu"):
+        import torch
+        from transformers import AutoModel, AutoTokenizer
+
+        self._torch = torch
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.model = AutoModel.from_pretrained(model_name).to(device).eval()
+        self.device = device
+        self.dim = self.model.config.hidden_size
+
+    def tokenize(self, text: str) -> List[int]:
+        return self.tokenizer(text)["input_ids"]
+
+    def embed(self, text: str) -> np.ndarray:
+        torch = self._torch
+        with torch.no_grad():
+            enc = self.tokenizer(
+                text, return_tensors="pt", truncation=True, max_length=2048
+            ).to(self.device)
+            out = self.model(**enc).last_hidden_state  # (1, S, H)
+            mask = enc["attention_mask"][..., None].float()
+            pooled = (out * mask).sum(1) / mask.sum(1).clamp(min=1)
+        return pooled[0].cpu().numpy().astype(np.float32)
+
+
+class LanguageEmbeddingService:
+    def __init__(self, embedder=None):
+        self.embedder = embedder or HashEmbedder()
+        self._lock = threading.Lock()  # serialize model access
+        self.request_count = 0
+
+    def embed(self, texts: List[str]) -> np.ndarray:
+        with self._lock:
+            return np.stack([self.embedder.embed(t) for t in texts])
+
+    def tokenize(self, text: str) -> List[int]:
+        with self._lock:
+            return self.embedder.tokenize(text)
+
+    def health(self) -> Dict:
+        return {
+            "status": "healthy",
+            "dim": self.embedder.dim,
+            "backend": type(self.embedder).__name__,
+            "requests": self.request_count,
+        }
+
+
+def make_handler(service: LanguageEmbeddingService):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            logger.debug(fmt % args)
+
+        def _send(self, code, payload):
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            service.request_count += 1
+            if self.path == "/health":
+                return self._send(200, service.health())
+            return self._send(404, {"error": "unknown route"})
+
+        def do_POST(self):
+            service.request_count += 1
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                payload = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/embed":
+                    texts = payload.get("texts") or [payload["text"]]
+                    emb = service.embed(texts)
+                    return self._send(
+                        200, {"embeddings": emb.tolist(), "dim": emb.shape[-1]}
+                    )
+                if self.path == "/tokenize":
+                    return self._send(
+                        200, {"tokens": service.tokenize(payload["text"])}
+                    )
+                return self._send(404, {"error": "unknown route"})
+            except KeyError as e:
+                return self._send(400, {"error": f"missing field {e}"})
+            except Exception as e:
+                return self._send(500, {"error": str(e)})
+
+    return Handler
+
+
+class LanguageServer:
+    def __init__(self, service=None, host: str = "127.0.0.1", port: int = 0):
+        self.service = service or LanguageEmbeddingService()
+        self._httpd = ThreadingHTTPServer((host, port), make_handler(self.service))
+        self.host, self.port = self._httpd.server_address
+        self._thread: Optional[threading.Thread] = None
+
+    def start(self) -> "LanguageServer":
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+
+class LanguageClient:
+    """Client (reference: encoders/language/client.py:14)."""
+
+    def __init__(self, base_url: str, timeout: float = 60.0):
+        self.base_url = base_url.rstrip("/")
+        self.timeout = timeout
+
+    def _post(self, path, payload):
+        import urllib.request
+
+        req = urllib.request.Request(
+            self.base_url + path,
+            data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req, timeout=self.timeout) as r:
+            return json.loads(r.read())
+
+    def embed(self, text_or_texts) -> np.ndarray:
+        if isinstance(text_or_texts, str):
+            out = self._post("/embed", {"text": text_or_texts})
+            return np.asarray(out["embeddings"][0], np.float32)
+        out = self._post("/embed", {"texts": list(text_or_texts)})
+        return np.asarray(out["embeddings"], np.float32)
+
+    def tokenize(self, text: str) -> List[int]:
+        return self._post("/tokenize", {"text": text})["tokens"]
+
+    def health(self) -> Dict:
+        import urllib.request
+
+        with urllib.request.urlopen(
+            self.base_url + "/health", timeout=self.timeout
+        ) as r:
+            return json.loads(r.read())

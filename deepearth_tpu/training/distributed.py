@@ -1,0 +1,155 @@
+"""Multi-host distributed training support.
+
+TPU-native replacement for the reference's NCCL/DDP harness
+(reference: hpc/train_distrbuted.py:35-54 init, :160-213 samplers,
+:499-504 DDP wrap, :343-358 metric all_reduce, hpc/slurm_train.sh:32-36
+rendezvous):
+
+* :func:`initialize_distributed` — jax.distributed.initialize from env vars
+  (COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID or TPU metadata).
+* :class:`DistributedTrainer` — mesh-sharded train step: params sharded by
+  the path rules (expert/model axes), batch sharded over data; gradient
+  psums are inserted by XLA SPMD, metric sync comes out for free since
+  metrics are computed on sharded data inside jit.
+* per-host input sharding replaces DistributedSampler
+  (process_local_batch_indices in parallel/mesh.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from ..configs import DeepEarthConfig
+from ..parallel.mesh import (
+    batch_sharding,
+    create_mesh,
+    make_param_shardings,
+    replicated,
+)
+from ..utils.logging import get_logger
+from .losses import LossWeights
+from .trainer import TrainState, create_optimizer, make_train_step
+
+logger = get_logger("Distributed")
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """jax.distributed.initialize with env:// style fallbacks
+    (rendezvous parity with hpc/slurm_train.sh:32-36)."""
+    coordinator_address = coordinator_address or os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ) or (
+        f"{os.environ['MASTER_ADDR']}:{os.environ.get('MASTER_PORT', '1234')}"
+        if "MASTER_ADDR" in os.environ
+        else None
+    )
+    num_processes = num_processes or int(
+        os.environ.get("NUM_PROCESSES", os.environ.get("WORLD_SIZE", 0))
+    ) or None
+    process_id = (
+        process_id
+        if process_id is not None
+        else int(os.environ.get("PROCESS_ID", os.environ.get("RANK", -1)))
+    )
+    process_id = process_id if process_id >= 0 else None
+    if coordinator_address is None and num_processes is None:
+        # single-process / TPU-pod auto-detect path
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized or single host
+            logger.debug(f"jax.distributed.initialize skipped: {e}")
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    logger.info(
+        f"distributed initialized: process {jax.process_index()}/"
+        f"{jax.process_count()}, {len(jax.devices())} devices"
+    )
+
+
+class DistributedTrainer:
+    """Mesh-sharded training: dp × ep × tp via pjit sharding annotations."""
+
+    def __init__(
+        self,
+        model,
+        config: DeepEarthConfig,
+        loss_weights: Optional[LossWeights] = None,
+        mesh=None,
+        lr_scale_by_data_parallel: bool = True,
+        seed: int = 0,
+    ):
+        self.model = model
+        self.config = config
+        self.mesh = mesh or create_mesh()
+        self.rng = jax.random.PRNGKey(seed)
+        if lr_scale_by_data_parallel:
+            # LR × data-parallel width (reference: hpc/train_distrbuted.py:517)
+            config.optimizer.learning_rate *= int(self.mesh.shape["data"])
+        self._loss_weights = loss_weights or LossWeights()
+        self._step_fn = None
+        self._state_shardings = None
+
+    def init_state(self, sample_batch: Dict[str, Any]) -> TrainState:
+        self.rng, k = jax.random.split(self.rng)
+        params = self.model.init(k, sample_batch)["params"]
+        tx = create_optimizer(self.config.optimizer)
+        state = TrainState.create(
+            apply_fn=self.model.apply, params=params, tx=tx
+        )
+        self._state_shardings = make_param_shardings(state, self.mesh)
+        state = jax.device_put(state, self._state_shardings)
+
+        train_step = make_train_step(
+            self.model, self.config, self._loss_weights
+        )
+        batch_sh = jax.tree_util.tree_map(
+            lambda _: batch_sharding(self.mesh), sample_batch
+        )
+        self._batch_shardings = batch_sh
+        self._step_fn = jax.jit(
+            train_step,
+            in_shardings=(self._state_shardings, batch_sh, replicated(self.mesh)),
+            donate_argnums=(0,),
+        )
+        return state
+
+    def shard_batch(self, batch: Dict[str, Any]):
+        return jax.tree_util.tree_map(
+            lambda x, s: jax.device_put(x, s), batch, self._batch_shardings
+        )
+
+    def step(self, state: TrainState, batch: Dict[str, Any]):
+        self.rng, k = jax.random.split(self.rng)
+        return self._step_fn(state, self.shard_batch(batch), k)
+
+    def fit(
+        self,
+        state: TrainState,
+        batches: Iterable[Dict[str, Any]],
+        num_steps: int,
+        log_every: int = 50,
+    ) -> Tuple[TrainState, Dict[str, float]]:
+        from .metrics import MetricAccumulator, format_epoch_line
+
+        acc = MetricAccumulator()
+        it = iter(batches)
+        metrics = {}
+        for i in range(1, num_steps + 1):
+            state, metrics = self.step(state, next(it))
+            acc.update(metrics)
+            if log_every and i % log_every == 0 and jax.process_index() == 0:
+                logger.info(format_epoch_line(i, acc.result()))
+                acc.reset()
+        return state, {k: float(np.asarray(v)) for k, v in metrics.items()}

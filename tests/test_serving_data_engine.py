@@ -273,3 +273,28 @@ class TestRecipes:
         params = dec.init(jax.random.PRNGKey(1), cond)
         out = dec.apply(params, cond)
         assert out.shape == (2, 2, 3, 3, 8)
+
+
+class TestLanguageService:
+    def test_embed_tokenize_health(self):
+        from deepearth_tpu.serving import (
+            HashEmbedder,
+            LanguageClient,
+            LanguageEmbeddingService,
+            LanguageServer,
+        )
+
+        srv = LanguageServer(
+            LanguageEmbeddingService(HashEmbedder(dim=32))
+        ).start()
+        try:
+            c = LanguageClient(f"http://127.0.0.1:{srv.port}")
+            assert c.health()["dim"] == 32
+            e1 = c.embed("live oak")
+            e2 = c.embed("live oak")
+            np.testing.assert_allclose(e1, e2)  # deterministic
+            assert not np.allclose(e1, c.embed("saw palmetto"))
+            assert c.embed(["a", "b"]).shape == (2, 32)
+            assert len(c.tokenize("hello world")) == 2
+        finally:
+            srv.stop()

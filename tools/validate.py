@@ -1,0 +1,186 @@
+"""System validation runner (reference: tests/run_tests.py:29-329).
+
+Runs architecture checks, forward passes across config variants, memory
+scaling by batch size with OOM degradation, a latency/throughput benchmark,
+and feature-quality statistics; writes a JSON report.
+
+Usage: python tools/validate.py [--output report.json] [--quick]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from typing import Any, Dict
+
+import numpy as np
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+import jax
+import jax.numpy as jnp
+
+from deepearth_tpu.configs import ModalityConfig, tiny_config
+from deepearth_tpu.models import DeepEarthModel
+from deepearth_tpu.utils.profiling import benchmark_fn
+
+
+def make_batch(cfg, batch_size, key, with_vision=True, with_language=True):
+    keys = jax.random.split(key, 4)
+    mods = {}
+    if "species" in cfg.modalities:
+        mods["species"] = jax.random.randint(keys[0], (batch_size,), 0, 232)
+    if with_vision and "vision" in cfg.modalities:
+        m = cfg.modalities["vision"]
+        mods["vision"] = jax.random.normal(keys[1], (batch_size, 16, m.input_dim))
+    if with_language and "language" in cfg.modalities:
+        m = cfg.modalities["language"]
+        mods["language"] = jax.random.normal(keys[2], (batch_size, m.input_dim))
+    return {
+        "xyzt": jax.random.uniform(keys[3], (batch_size, 4)),
+        "modalities": mods,
+    }
+
+
+def build_cfg():
+    cfg = tiny_config()
+    cfg.add_modality(
+        ModalityConfig(name="vision", input_dim=64, n_tokens=4,
+                       encoder_layers=1, encoder_heads=4)
+    )
+    cfg.add_modality(
+        ModalityConfig(name="language", input_dim=128, n_tokens=2,
+                       encoder_layers=1, encoder_heads=4)
+    )
+    return cfg
+
+
+class DeepEarthValidator:
+    def __init__(self, quick: bool = False):
+        self.quick = quick
+        self.results: Dict[str, Any] = {}
+        self.cfg = build_cfg()
+        self.model = DeepEarthModel(self.cfg)
+        batch = make_batch(self.cfg, 2, jax.random.PRNGKey(0))
+        self.params = self.model.init(jax.random.PRNGKey(1), batch)["params"]
+
+    def run_all_tests(self) -> Dict[str, Any]:
+        for name in (
+            "architecture",
+            "forward_configs",
+            "memory_scaling",
+            "latency_throughput",
+            "feature_quality",
+        ):
+            t0 = time.time()
+            try:
+                getattr(self, f"test_{name}")()
+                self.results.setdefault(name, {})["status"] = "pass"
+            except Exception as e:  # report, don't crash the runner
+                self.results.setdefault(name, {})["status"] = f"fail: {e}"
+            self.results[name]["seconds"] = round(time.time() - t0, 2)
+        return self.results
+
+    # -- checks ---------------------------------------------------------------- #
+
+    def test_architecture(self):
+        """Parameter counts per submodule (reference: run_tests.py architecture)."""
+        counts = {}
+        for top, sub in self.params.items():
+            counts[top] = int(
+                sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(sub))
+            )
+        self.results["architecture"] = {
+            "param_counts": counts,
+            "total_params": int(sum(counts.values())),
+        }
+
+    def test_forward_configs(self):
+        """Forward variants {minimal, vision_only, language_only, full}
+        (reference: run_tests.py:142-147)."""
+        out = {}
+        for name, (v, l) in {
+            "minimal": (False, False),
+            "vision_only": (True, False),
+            "language_only": (False, True),
+            "full": (True, True),
+        }.items():
+            batch = make_batch(self.cfg, 2, jax.random.PRNGKey(2), v, l)
+            res = self.model.apply({"params": self.params}, batch)
+            out[name] = {
+                "fused_shape": list(res["fused_representation"].shape),
+                "recon_keys": sorted(res["reconstructions"]),
+                "finite": bool(
+                    np.isfinite(np.asarray(res["fused_representation"])).all()
+                ),
+            }
+        self.results["forward_configs"] = out
+
+    def test_memory_scaling(self):
+        """Batch-size scaling with graceful OOM handling
+        (reference: run_tests.py:220-260)."""
+        out = {}
+        sizes = [2, 8] if self.quick else [2, 8, 32, 128]
+        for b in sizes:
+            try:
+                batch = make_batch(self.cfg, b, jax.random.PRNGKey(3))
+                res = self.model.apply({"params": self.params}, batch)
+                jax.block_until_ready(res["fused_representation"])
+                out[str(b)] = "ok"
+            except (RuntimeError, MemoryError) as e:
+                out[str(b)] = f"oom: {str(e)[:80]}"
+                break
+        self.results["memory_scaling"] = out
+
+    def test_latency_throughput(self):
+        """samples/sec + ms/sample @ batch 8 (reference: run_tests.py:264-329)."""
+        b = 8
+        batch = make_batch(self.cfg, b, jax.random.PRNGKey(4))
+        fwd = jax.jit(
+            lambda p, x: self.model.apply({"params": p}, x)["fused_representation"]
+        )
+        iters = 20 if self.quick else 100
+        stats = benchmark_fn(
+            lambda: fwd(self.params, batch),
+            iters=iters,
+            warmup=5 if self.quick else 10,
+            samples_per_call=b,
+        )
+        self.results["latency_throughput"] = stats
+
+    def test_feature_quality(self):
+        """Fused-feature statistics (reference: run_tests.py feature quality)."""
+        batch = make_batch(self.cfg, 16, jax.random.PRNGKey(5))
+        feats = np.asarray(
+            self.model.apply({"params": self.params}, batch)["fused_representation"]
+        )
+        self.results["feature_quality"] = {
+            "mean": float(feats.mean()),
+            "std": float(feats.std()),
+            "frac_dead_dims": float((feats.std(0) < 1e-6).mean()),
+            "finite": bool(np.isfinite(feats).all()),
+        }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--output", default="validation_report.json")
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    v = DeepEarthValidator(quick=args.quick)
+    results = v.run_all_tests()
+    results["device"] = str(jax.devices()[0])
+    with open(args.output, "w") as f:
+        json.dump(results, f, indent=2)
+    statuses = {
+        k: r.get("status") for k, r in results.items() if isinstance(r, dict)
+    }
+    print(json.dumps(statuses, indent=2))
+    print(f"report → {args.output}")
+
+
+if __name__ == "__main__":
+    main()
