@@ -1,0 +1,94 @@
+"""Tests for the reconstruction side-pipeline (L7)."""
+
+import numpy as np
+import pytest
+
+from deepearth_tpu.reconstruction import (
+    CameraIntrinsics,
+    GeoFusionDataset,
+    depth_to_world_cloud,
+    load_ply,
+    save_ply,
+    transform_points,
+    unproject_depth,
+    voxel_downsample,
+)
+
+
+@pytest.fixture
+def intrinsics():
+    return CameraIntrinsics(fx=100.0, fy=100.0, cx=32.0, cy=24.0, width=64, height=48)
+
+
+class TestUnprojection:
+    def test_center_pixel_on_axis(self, intrinsics):
+        depth = np.zeros((48, 64), np.float32)
+        depth[24, 32] = 5.0
+        pts = unproject_depth(depth, intrinsics)
+        assert pts.shape == (1, 3)
+        np.testing.assert_allclose(pts[0], [0.0, 0.0, 5.0])
+
+    def test_offset_pixel_geometry(self, intrinsics):
+        depth = np.zeros((48, 64), np.float32)
+        depth[24, 42] = 10.0  # 10 px right of center
+        pts = unproject_depth(depth, intrinsics)
+        np.testing.assert_allclose(pts[0], [1.0, 0.0, 10.0])  # 10px/fx*d = 1m
+
+    def test_invalid_depth_dropped(self, intrinsics):
+        depth = np.full((48, 64), -1.0, np.float32)
+        depth[0, 0] = 2.0
+        depth[1, 1] = 100.0
+        pts = unproject_depth(depth, intrinsics, max_depth=50.0)
+        assert pts.shape == (1, 3)
+
+    def test_world_transform(self, intrinsics):
+        depth = np.zeros((48, 64), np.float32)
+        depth[24, 32] = 1.0
+        R = np.array([[0, -1, 0], [1, 0, 0], [0, 0, 1.0]])  # Rz(90°)
+        t = np.array([10.0, 20.0, 30.0])
+        cloud = depth_to_world_cloud(depth, intrinsics, R, t, stride=1)
+        np.testing.assert_allclose(cloud[0], [10.0, 20.0, 31.0])
+
+
+class TestPointCloudUtils:
+    def test_voxel_downsample(self):
+        pts = np.array([[0.1, 0.1, 0.1], [0.2, 0.2, 0.2], [5.0, 5.0, 5.0]])
+        out = voxel_downsample(pts, 1.0)
+        assert out.shape == (2, 3)
+        np.testing.assert_allclose(sorted(out[:, 0]), [0.15, 5.0])
+
+    def test_ply_roundtrip(self, tmp_path):
+        pts = np.random.default_rng(0).random((10, 3))
+        cols = (np.random.default_rng(1).random((10, 3)) * 255).astype(np.uint8)
+        p = str(tmp_path / "cloud.ply")
+        save_ply(p, pts, cols)
+        pts2, cols2 = load_ply(p)
+        np.testing.assert_allclose(pts2, pts, atol=1e-5)
+        np.testing.assert_array_equal(cols2, cols)
+
+
+class TestGeoFusionDataset:
+    def test_dataset_poses(self, tmp_path):
+        csv_text = (
+            "time,image,latitude,longitude,altitude,yaw,pitch,roll,"
+            "xyAccuracy,zAccuracy\n"
+            "1.0,f1,28.50,-81.40,30.0,0.0,0.0,0.0,0.01,0.02\n"
+            "2.0,f2,28.51,-81.41,31.0,90.0,0.0,0.0,0.01,0.02\n"
+        )
+        csv_path = tmp_path / "poses.csv"
+        csv_path.write_text(csv_text)
+        # image dir with one matching file
+        (tmp_path / "f1.jpg").write_bytes(b"")
+        ds = GeoFusionDataset(str(csv_path), image_dir=str(tmp_path))
+        assert len(ds) == 2
+        f0 = ds[0]
+        assert f0.image_path is not None and f0.image_path.endswith("f1.jpg")
+        assert ds[1].image_path is None
+        # rotations are proper
+        np.testing.assert_allclose(
+            np.linalg.det(f0.rotation_cam_to_ecef), 1.0, atol=1e-10
+        )
+        poses = ds.poses()
+        assert poses["positions_ecef"].shape == (2, 3)
+        assert poses["positions_norm"].min() >= 0
+        assert poses["positions_norm"].max() <= 1
