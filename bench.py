@@ -95,14 +95,26 @@ def bench_ours() -> dict:
     dt = time.perf_counter() - t0
     obs_per_s = BATCH * STEPS / dt
 
-    # p50 encode latency: grid4d + modality encode + fusion forward only
+    # p50 encode latency: grid4d + modality encode + fusion forward only.
+    # Vary the batch each call — identical (executable, args) pairs can be
+    # served from a cache on some runtimes, faking sub-dispatch latencies.
     fwd = jax.jit(lambda p, b: model.apply({"params": p}, b)["fused_representation"])
-    out = fwd(state.params, batch)
-    jax.block_until_ready(out)
+    batches = [
+        {
+            "xyzt": jax.random.uniform(jax.random.PRNGKey(500 + i), (BATCH, 4)),
+            "modalities": {
+                "species": jax.random.randint(
+                    jax.random.PRNGKey(600 + i), (BATCH,), 0, 232
+                )
+            },
+        }
+        for i in range(20)
+    ]
+    jax.block_until_ready(fwd(state.params, batches[0]))
     lat = []
-    for i in range(20):
+    for b in batches:
         t1 = time.perf_counter()
-        jax.block_until_ready(fwd(state.params, batch))
+        jax.block_until_ready(fwd(state.params, b))
         lat.append((time.perf_counter() - t1) * 1000)
     p50 = float(np.percentile(lat, 50))
     log(f"[ours] train obs/s: {obs_per_s:.1f}  fwd p50: {p50:.2f} ms/batch")

@@ -6,6 +6,7 @@ from .probes import (
     classification_metrics,
     regression_metrics,
 )
+from .ecosystems import EcosystemCluster, analyze_ecosystems
 from .spatiotemporal import (
     SpatiotemporalMetrics,
     binned_rmse,
@@ -15,6 +16,8 @@ from .spatiotemporal import (
 )
 
 __all__ = [
+    "EcosystemCluster",
+    "analyze_ecosystems",
     "DeepEarthEvaluator",
     "ProbeResult",
     "classification_metrics",

@@ -98,3 +98,14 @@ class SpatiotemporalMetrics:
     @staticmethod
     def temporal_binned_rmse(pred, true, times, n_bins: int = 10):
         return binned_rmse(np.asarray(pred), np.asarray(true), np.asarray(times), n_bins)
+
+
+def haversine_like(lat, lon, clat, clon) -> np.ndarray:
+    """Great-circle distance (km) from points to a single centre."""
+    lat, lon = np.deg2rad(np.asarray(lat)), np.deg2rad(np.asarray(lon))
+    clat_r, clon_r = np.deg2rad(clat), np.deg2rad(clon)
+    a = (
+        np.sin((lat - clat_r) / 2) ** 2
+        + np.cos(lat) * np.cos(clat_r) * np.sin((lon - clon_r) / 2) ** 2
+    )
+    return 2 * 6371.0 * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
