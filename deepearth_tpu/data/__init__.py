@@ -1,6 +1,13 @@
 """Data layer: synthetic generator, mmap embedding store, batching/prefetch,
 train/test splits."""
 
+from .extractors import (
+    BaseModalityExtractor,
+    LanguageModelExtractor,
+    StubExtractor,
+    VJEPA2Extractor,
+    run_parallel_extraction,
+)
 from .batches import collate_observations, device_prefetch, threaded_producer
 from .observations import (
     DatasetConfig,
@@ -32,6 +39,11 @@ from .synthetic import (
 )
 
 __all__ = [
+    "BaseModalityExtractor",
+    "LanguageModelExtractor",
+    "StubExtractor",
+    "VJEPA2Extractor",
+    "run_parallel_extraction",
     "DatasetConfig",
     "ObservationDataset",
     "UnifiedDataCache",

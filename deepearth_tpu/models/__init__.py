@@ -24,6 +24,14 @@ from .fusion import (
     SpatialTemporalEmbedding,
 )
 from .grid4d import Grid4DEncoder
+from .mlp_unet import MLPUNet, MultimodalUNet
+from .shared_space import LatentPool, MultimodalSharedSpace
+from .simulator import (
+    DatasetSpecificDecoder,
+    InductiveSimulator,
+    MaskingStrategy,
+    create_inductive_simulator,
+)
 from .transformer import (
     GatedMLP,
     MLP,
@@ -33,6 +41,14 @@ from .transformer import (
 )
 
 __all__ = [
+    "MLPUNet",
+    "MultimodalUNet",
+    "LatentPool",
+    "MultimodalSharedSpace",
+    "DatasetSpecificDecoder",
+    "InductiveSimulator",
+    "MaskingStrategy",
+    "create_inductive_simulator",
     "BidirectionalReconstructor",
     "MultimodalAutoencoder",
     "VisionSequenceDecoder",
