@@ -7,10 +7,13 @@ from .logging import (
     get_logger,
     setup_logging,
 )
+from .monitor import ResourceMonitor, resource_snapshot
 from .profiling import StepTimer, benchmark_fn, trace
 from .projection import EmbeddingProjector
 
 __all__ = [
+    "ResourceMonitor",
+    "resource_snapshot",
     "JSONLMetricWriter",
     "MultiWriter",
     "TensorBoardMetricWriter",
