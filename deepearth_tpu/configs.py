@@ -167,6 +167,10 @@ class MLAConfig:
     attention_dropout: float = 0.0
     attention_bias: bool = False
     max_position_embeddings: int = 4096
+    # Use the Pallas flash-attention kernel for long sequences (TPU only);
+    # the 4608-patch V-JEPA2 path is the intended target.
+    use_flash_attention: bool = False
+    flash_min_seq: int = 1024
 
     @property
     def q_head_dim(self) -> int:
@@ -188,6 +192,10 @@ class MoEConfig:
     hidden_dim: int = 512
     # TPU-native dense dispatch: fraction of S*topk/E slots per expert.
     capacity_factor: float = 2.0
+    # 'dense' — capacity-factor einsum dispatch (shardable over the expert
+    # mesh axis); 'ragged' — drop-free sort + megablox grouped-matmul Pallas
+    # kernel (single-chip fast path; TPU only).
+    dispatch_mode: str = "dense"
     # Auxiliary load-balance loss weight (reference trains without aux via
     # bias correction; we expose both).
     aux_loss_weight: float = 0.0

@@ -107,9 +107,32 @@ class MLAttention(nn.Module):
             ms = yarn_get_mscale(cfg.rope_scaling.factor, cfg.rope_scaling.mscale_all_dim)
             scale = scale * ms * ms
 
-        out = dot_product_attention(
-            query, key, v, scale=scale, key_mask=key_mask, is_causal=is_causal
+        use_flash = (
+            cfg.use_flash_attention
+            and key_mask is None
+            and N >= cfg.flash_min_seq
+            and N % 128 == 0
+            and jax.default_backend() == "tpu"
         )
+        if use_flash:
+            # Pallas flash kernel: O(N) memory for the 4608-patch vision path.
+            # v is padded to the qk head dim (kernel wants uniform head dims).
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, qh - vh)))
+            out = flash_attention(
+                query.astype(jnp.float32),
+                key.astype(jnp.float32),
+                v_pad.astype(jnp.float32),
+                causal=is_causal,
+                sm_scale=scale,
+            )[..., :vh].astype(v.dtype)
+        else:
+            out = dot_product_attention(
+                query, key, v, scale=scale, key_mask=key_mask, is_causal=is_causal
+            )
         out = out.transpose(0, 2, 1, 3).reshape(B, N, H * vh)
         out = dense(cfg.hidden_dim, "o_proj", bias=cfg.attention_bias)(out)
         if cfg.attention_dropout > 0:
@@ -179,11 +202,6 @@ class MoELayer(nn.Module):
             norm_topk_prob=cfg.norm_topk_prob,
             routed_scaling_factor=cfg.routed_scaling_factor,
         )
-        capacity = max(K, int(math.ceil(S * K / E * cfg.capacity_factor)))
-        dispatch, combine, load = make_dispatch_combine(
-            gate.topk_idx, gate.topk_weight, n_experts=E, capacity=capacity
-        )
-
         w_gate = self.param(
             "w_gate", nn.initializers.normal(0.02), (E, D, F), self.param_dtype
         )
@@ -193,19 +211,40 @@ class MoELayer(nn.Module):
         w_down = self.param(
             "w_down", nn.initializers.normal(0.02), (E, F, D), self.param_dtype
         )
-        expert_in = jnp.einsum(
-            "sec,sd->ecd", dispatch.astype(self.compute_dtype),
-            xf.astype(self.compute_dtype),
-        )
-        expert_out = expert_ffn(
-            expert_in,
-            w_gate.astype(self.compute_dtype),
-            w_up.astype(self.compute_dtype),
-            w_down.astype(self.compute_dtype),
-        )
-        y = jnp.einsum(
-            "sec,ecd->sd", combine.astype(self.compute_dtype), expert_out
-        )
+
+        if cfg.dispatch_mode == "ragged":
+            # drop-free sort + megablox grouped-matmul Pallas kernel
+            from ..ops.moe import ragged_expert_ffn
+
+            y = ragged_expert_ffn(
+                xf.astype(self.compute_dtype),
+                gate.topk_idx,
+                gate.topk_weight,
+                w_gate.astype(self.compute_dtype),
+                w_up.astype(self.compute_dtype),
+                w_down.astype(self.compute_dtype),
+            )
+            load = jnp.bincount(gate.topk_idx.reshape(-1), length=E).astype(
+                jnp.float32
+            )
+        else:
+            capacity = max(K, int(math.ceil(S * K / E * cfg.capacity_factor)))
+            dispatch, combine, load = make_dispatch_combine(
+                gate.topk_idx, gate.topk_weight, n_experts=E, capacity=capacity
+            )
+            expert_in = jnp.einsum(
+                "sec,sd->ecd", dispatch.astype(self.compute_dtype),
+                xf.astype(self.compute_dtype),
+            )
+            expert_out = expert_ffn(
+                expert_in,
+                w_gate.astype(self.compute_dtype),
+                w_up.astype(self.compute_dtype),
+                w_down.astype(self.compute_dtype),
+            )
+            y = jnp.einsum(
+                "sec,ecd->sd", combine.astype(self.compute_dtype), expert_out
+            )
 
         if cfg.n_shared_experts:
             y = y + SwiGLUMLP(

@@ -153,3 +153,74 @@ def load_balance_aux_loss(
     f = mask.mean(axis=0)  # fraction routed per expert
     p = (scores / (scores.sum(-1, keepdims=True) + 1e-20)).mean(axis=0)
     return n_experts * jnp.sum(f * p)
+
+
+def ragged_expert_ffn(
+    xf: jnp.ndarray,
+    topk_idx: jnp.ndarray,
+    topk_weight: jnp.ndarray,
+    w_gate: jnp.ndarray,
+    w_up: jnp.ndarray,
+    w_down: jnp.ndarray,
+) -> jnp.ndarray:
+    """Drop-free MoE via sort + grouped matmul (megablox gmm Pallas kernel).
+
+    TPU-native equivalent of the reference's sort + all_to_all dispatch
+    (reference: encoders/modeling_deepseek.py:534-608) with static shapes:
+    token copies are sorted by expert id, each expert's contiguous segment
+    runs through one grouped SwiGLU matmul on the MXU, and results are
+    unsorted and combined with the gate weights. No capacity factor, no
+    dropped tokens; differentiable end-to-end.
+
+    Args:
+        xf: (S, D) tokens.
+        topk_idx: (S, K) expert assignment.
+        topk_weight: (S, K) gate weights.
+        w_gate, w_up: (E, D, F); w_down: (E, F, D).
+
+    Returns:
+        (S, D) combined expert outputs.
+    """
+    from jax.experimental.pallas.ops.tpu.megablox import gmm
+
+    s, d = xf.shape
+    k = topk_idx.shape[1]
+    e = w_gate.shape[0]
+
+    f = w_gate.shape[2]
+    flat_expert = topk_idx.reshape(-1)  # (S*K,) — row s*K + j is token s
+    order = jnp.argsort(flat_expert)
+    token_of_row = order // k
+    sorted_tokens = xf[token_of_row]  # (S*K, D)
+    group_sizes = jnp.bincount(flat_expert, length=e).astype(jnp.int32)
+
+    # gmm wants the row count 128-aligned; pad rows land in the last
+    # expert's segment (they sort highest) and are sliced away after.
+    m = s * k
+    pad = (-m) % 128
+    if pad:
+        sorted_tokens = jnp.pad(sorted_tokens, ((0, pad), (0, 0)))
+        group_sizes = group_sizes.at[e - 1].add(pad)
+
+    interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
+    tiling = (128, min(128, d), min(128, f))
+    gate = gmm(sorted_tokens, w_gate, group_sizes,
+               preferred_element_type=jnp.float32, tiling=tiling,
+               interpret=interpret)
+    up = gmm(sorted_tokens, w_up, group_sizes,
+             preferred_element_type=jnp.float32, tiling=tiling,
+             interpret=interpret)
+    h = (jax.nn.silu(gate) * up).astype(xf.dtype)
+    out_sorted = gmm(h, w_down, group_sizes,
+                     preferred_element_type=jnp.float32,
+                     tiling=(128, min(128, f), min(128, d)),
+                     interpret=interpret).astype(xf.dtype)
+    if pad:
+        out_sorted = out_sorted[:m]
+
+    # unsort and weighted-combine the K copies of each token
+    inv = jnp.argsort(order)
+    out_rows = out_sorted[inv].reshape(s, k, d)
+    return jnp.einsum(
+        "skd,sk->sd", out_rows, topk_weight.astype(out_rows.dtype)
+    )

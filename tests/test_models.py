@@ -355,3 +355,35 @@ class TestDeepEarthModel:
         tok = np.asarray(out["input_tokens"]["species"])
         assert not np.allclose(tok[0], tok[1])
         np.testing.assert_allclose(tok[1], tok[3])  # both masked → same token
+
+
+class TestRaggedMoE:
+    def test_ragged_matches_dense_when_no_drops(self):
+        """ragged (gmm) and dense dispatch must agree given ample capacity."""
+        import dataclasses
+
+        base = MoEConfig(
+            n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+            hidden_dim=32, n_shared_experts=None, capacity_factor=8.0,
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32))
+        dense_mod = MoELayer(base)
+        params = dense_mod.init(jax.random.PRNGKey(1), x)
+        y_dense = dense_mod.apply(params, x, mutable=["intermediates"])[0]
+        ragged_mod = MoELayer(dataclasses.replace(base, dispatch_mode="ragged"))
+        y_ragged = ragged_mod.apply(params, x, mutable=["intermediates"])[0]
+        np.testing.assert_allclose(
+            np.asarray(y_dense), np.asarray(y_ragged), rtol=2e-4, atol=2e-5
+        )
+
+    def test_ragged_differentiable(self):
+        cfg = MoEConfig(
+            n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=16,
+            hidden_dim=16, n_shared_experts=None, dispatch_mode="ragged",
+        )
+        mod = MoELayer(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        g = jax.grad(lambda p: jnp.sum(mod.apply(p, x) ** 2))(params)
+        gw = g["params"]["w_gate"]
+        assert np.abs(np.asarray(gw)).sum() > 0
