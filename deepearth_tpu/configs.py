@@ -318,6 +318,9 @@ class OptimizerConfig:
     warmup_steps: int = 100
     total_steps: int = 10_000
     grad_clip_norm: float = 1.0
+    # >1 → optax.MultiSteps gradient accumulation
+    # (reference: hpc/train_distrbuted.py grad-accum(4))
+    grad_accum_steps: int = 1
     b1: float = 0.9
     b2: float = 0.999
     schedule: str = "cosine"  # 'cosine' | 'onecycle' | 'constant'

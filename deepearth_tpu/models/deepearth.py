@@ -77,11 +77,16 @@ class DeepEarthModel(nn.Module):
         mask_token = self.param(
             "mask_token", nn.initializers.normal(0.02), (1, 1, D), pd
         )
+        patch_masks = batch.get("modality_patch_masks", {})
         for name in sorted(cfg.modalities):
             if name not in modalities:
                 continue
             m = cfg.modalities[name]
             x = modalities[name]
+            if name in patch_masks and x.ndim == 3:
+                # MAE-style per-patch masking: hidden patches contribute zero
+                # features (reference: train_deepearth2.py 75% vision masking)
+                x = x * patch_masks[name][..., None].astype(x.dtype)
             if m.encoding_type == "learned_embedding":
                 tok = nn.Embed(
                     m.vocab_size, D, dtype=cd, param_dtype=pd,

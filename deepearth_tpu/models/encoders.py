@@ -121,6 +121,8 @@ class UniversalTokenEncoder(nn.Module):
                 qk_rope_head_dim=max(8, head_dim // 2),
                 qk_nope_head_dim=head_dim,
                 v_head_dim=head_dim,
+                # the 4608-patch V-JEPA2 path benefits from the flash kernel
+                use_flash_attention=True,
             ),
             moe=None,
         )

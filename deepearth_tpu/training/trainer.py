@@ -46,12 +46,15 @@ def create_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         )
     else:
         schedule = cfg.learning_rate
-    return optax.chain(
+    tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.adamw(
             schedule, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay
         ),
     )
+    if cfg.grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
+    return tx
 
 
 def make_train_step(

@@ -387,3 +387,32 @@ class TestRaggedMoE:
         g = jax.grad(lambda p: jnp.sum(mod.apply(p, x) ** 2))(params)
         gw = g["params"]["w_gate"]
         assert np.abs(np.asarray(gw)).sum() > 0
+
+
+class TestPatchMasking:
+    def test_patch_mask_zeroes_native_features(self):
+        cfg = tiny_config()
+        cfg.add_modality(
+            ModalityConfig(name="vision", input_dim=8, n_tokens=2,
+                           encoder_layers=1, encoder_heads=2)
+        )
+        model = DeepEarthModel(cfg)
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        vision = jax.random.normal(jax.random.PRNGKey(5), (4, 6, 8))
+        batch["modalities"]["vision"] = vision
+        params = model.init(jax.random.PRNGKey(1), batch)
+
+        # masking all patches == passing zero input
+        full_mask = jnp.zeros((4, 6), bool)
+        b1 = dict(batch)
+        b1["modality_patch_masks"] = {"vision": full_mask}
+        out1 = model.apply(params, b1)
+        b2 = dict(batch)
+        b2["modalities"] = dict(batch["modalities"])
+        b2["modalities"]["vision"] = jnp.zeros_like(vision)
+        out2 = model.apply(params, b2)
+        np.testing.assert_allclose(
+            np.asarray(out1["input_tokens"]["vision"]),
+            np.asarray(out2["input_tokens"]["vision"]),
+            atol=1e-6,
+        )
