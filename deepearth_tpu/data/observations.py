@@ -254,7 +254,7 @@ class UnifiedDataCache:
             return self._vision_cache[gbif_id]
         if self.vision_loader is None:
             return None
-        emb = self.vision_loader.get(gbif_id)
+        emb = self.vision_loader.get(gbif_id, out_dtype=np.float16)
         if emb is not None:
             self._vision_cache.put(gbif_id, emb)
         return emb
@@ -265,7 +265,7 @@ class UnifiedDataCache:
             return self._language_cache[gbif_id]
         if self.language_loader is None:
             return None
-        emb = self.language_loader.get(gbif_id)
+        emb = self.language_loader.get(gbif_id, out_dtype=np.float16)
         if emb is not None:
             self._language_cache.put(gbif_id, emb)
         return emb
@@ -276,6 +276,7 @@ class UnifiedDataCache:
         include_vision: bool = True,
         include_language: bool = True,
         pool_vision: bool = False,
+        embedding_dtype=np.float16,
     ) -> Dict[str, Any]:
         """Model-ready batch (reference: dashboard/services/training_data.py:22-80)."""
         rows = np.asarray(
@@ -296,27 +297,30 @@ class UnifiedDataCache:
             "modalities": {"species": species},
         }
         if include_vision and self.vision_loader is not None:
-            vis = np.stack(
-                [
-                    self.get_vision_embedding(int(i))
-                    if self.get_vision_embedding(int(i)) is not None
+            # float16 by default: halves host copies and H2D transfer; the
+            # model casts to its compute dtype (bf16) on device anyway.
+            vis_list = []
+            for i in observation_ids:
+                e = self.get_vision_embedding(int(i))
+                vis_list.append(
+                    e if e is not None
                     else np.zeros(self.vision_loader.embedding_shape, np.float32)
-                    for i in observation_ids
-                ]
-            )
+                )
+            vis = np.stack(vis_list).astype(embedding_dtype, copy=False)
             if pool_vision and vis.ndim >= 3:
                 vis = vis.reshape(vis.shape[0], -1, vis.shape[-1]).mean(axis=1)
             elif vis.ndim > 3:
                 vis = vis.reshape(vis.shape[0], -1, vis.shape[-1])
             batch["modalities"]["vision"] = vis
         if include_language and self.language_loader is not None:
-            lang = np.stack(
-                [
-                    self.get_language_embedding(int(i))
-                    if self.get_language_embedding(int(i)) is not None
+            lang_list = []
+            for i in observation_ids:
+                e = self.get_language_embedding(int(i))
+                lang_list.append(
+                    e if e is not None
                     else np.zeros(self.language_loader.embedding_shape, np.float32)
-                    for i in observation_ids
-                ]
+                )
+            batch["modalities"]["language"] = np.stack(lang_list).astype(
+                embedding_dtype, copy=False
             )
-            batch["modalities"]["language"] = lang
         return batch
