@@ -201,6 +201,88 @@ class DataService:
         )
         return {"embedding": np.asarray(emb).tolist()}
 
+    def attention_map(self, gbif_id: int) -> Optional[Dict[str, Any]]:
+        """Spatial saliency over the patch grid
+        (reference: dashboard vision attention routes, data_cache.py)."""
+        if self.vision_loader is None:
+            return None
+        emb = self.vision_loader.get(gbif_id)
+        if emb is None:
+            return None
+        from ..data.observations import spatial_attention_map
+
+        att = spatial_attention_map(np.asarray(emb))
+        att = (att - att.min()) / (att.max() - att.min() + 1e-9)
+        return {"gbif_id": gbif_id, "shape": list(att.shape),
+                "attention": att.tolist()}
+
+    def embedding_umap(
+        self, which: str, max_items: int = 500, n_components: int = 3
+    ) -> Dict[str, Any]:
+        """Project stored embeddings to 2/3-D
+        (reference: /api/language_umap, /api/vision_umap routes)."""
+        loader = (
+            self.vision_loader if which == "vision" else self.language_loader
+        )
+        if loader is None:
+            raise ValueError(f"no {which} store configured")
+        ids = loader.ids[:max_items]
+        embs = []
+        for oid in ids:
+            e = loader.get(int(oid))
+            embs.append(np.asarray(e).reshape(-1) if e.ndim > 1 else e)
+        x = np.stack(embs)
+        if x.shape[1] > 4096:  # pool giant vision embeddings channel-wise
+            x = x.reshape(len(ids), -1, 1408).mean(1) if x.shape[1] % 1408 == 0 \
+                else x[:, :4096]
+        proj = EmbeddingProjector(n_components=n_components).fit_transform(x)
+        return {
+            "ids": [int(i) for i in ids],
+            "projection": proj.tolist(),
+            "n_components": n_components,
+        }
+
+    def ecosystems(self, n_clusters: int = 8, max_items: int = 1000) -> Dict[str, Any]:
+        """Cluster observation embeddings into ecological communities
+        (reference: /api/ecosystem_analysis route)."""
+        if self.vision_loader is None or not len(self.obs.get("gbif_id", [])):
+            raise ValueError("ecosystem analysis needs observations + vision store")
+        from ..evaluation.ecosystems import analyze_ecosystems
+
+        ids, embs, rows = [], [], []
+        id_arr = np.asarray(self.obs["gbif_id"])
+        for row, oid in enumerate(id_arr[:max_items]):
+            e = self.vision_loader.get(int(oid))
+            if e is None:
+                continue
+            e = np.asarray(e)
+            embs.append(e.reshape(-1, e.shape[-1]).mean(0) if e.ndim > 1 else e)
+            ids.append(int(oid))
+            rows.append(row)
+        rows = np.asarray(rows)
+        out = analyze_ecosystems(
+            np.stack(embs),
+            np.asarray(self.obs["species"])[rows],
+            np.asarray(self.obs["lat"])[rows],
+            np.asarray(self.obs["lon"])[rows],
+            n_clusters=min(n_clusters, max(2, len(ids) // 4)),
+        )
+        return {
+            "silhouette": out["silhouette"],
+            "labels": {i: int(l) for i, l in zip(ids, out["labels"])},
+            "clusters": [
+                {
+                    "cluster_id": c.cluster_id,
+                    "size": c.size,
+                    "dominant_species": c.dominant_species,
+                    "species_purity": c.species_purity,
+                    "center": [c.center_lat, c.center_lon],
+                    "radius_km": c.radius_km,
+                }
+                for c in out["clusters"]
+            ],
+        }
+
 
 def _to_py(v):
     if isinstance(v, (np.integer,)):
@@ -254,6 +336,28 @@ def make_handler(service: DataService):
                 if parts == ["api", "grid_statistics"]:
                     n_bins = int(q.get("n_bins", ["10"])[0])
                     return self._send(200, service.grid_statistics(n_bins))
+                if len(parts) == 3 and parts[:2] == ["api", "attention_map"]:
+                    att = service.attention_map(int(parts[2]))
+                    if att is None:
+                        return self._send(404, {"error": "not found"})
+                    return self._send(200, att)
+                if parts in (["api", "vision_umap"], ["api", "language_umap"]):
+                    which = parts[1].split("_")[0]
+                    return self._send(
+                        200,
+                        service.embedding_umap(
+                            which,
+                            max_items=int(q.get("max_items", ["500"])[0]),
+                            n_components=int(q.get("n_components", ["3"])[0]),
+                        ),
+                    )
+                if parts == ["api", "ecosystems"]:
+                    return self._send(
+                        200,
+                        service.ecosystems(
+                            n_clusters=int(q.get("n_clusters", ["8"])[0])
+                        ),
+                    )
                 return self._send(404, {"error": f"unknown route {url.path}"})
             except Exception as e:  # route errors → 500 JSON, not a stack dump
                 return self._send(500, {"error": str(e)})

@@ -298,3 +298,36 @@ class TestLanguageService:
             assert len(c.tokenize("hello world")) == 2
         finally:
             srv.stop()
+
+
+class TestAnalysisRoutes:
+    def test_attention_umap_ecosystem_routes(self, tmp_path):
+        ds = make_dataset(40, seed=9)
+        cols = ds.columns()
+        ids = cols["gbif_id"][:40]
+        rng = np.random.default_rng(10)
+        # species-structured embeddings so ecosystems are meaningful
+        proto = rng.standard_normal((3, 2, 4, 4, 16))
+        vis = proto[cols["species"][:40]] + 0.05 * rng.standard_normal(
+            (40, 2, 4, 4, 16)
+        )
+        vloader = convert_arrays_to_store(
+            str(tmp_path / "va"), ids, vis.astype(np.float32)
+        )
+        service = DataService(observations=cols, vision_loader=vloader)
+        srv = DashboardServer(service, port=0).start()
+        try:
+            c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+            att = c._get(f"/api/attention_map/{int(ids[0])}")
+            assert att["shape"] == [4, 4]
+            a = np.asarray(att["attention"])
+            assert a.min() >= 0 and a.max() <= 1
+
+            umap = c._get("/api/vision_umap?max_items=30&n_components=2")
+            assert np.asarray(umap["projection"]).shape == (30, 2)
+
+            eco = c._get("/api/ecosystems?n_clusters=3")
+            assert len(eco["clusters"]) == 3
+            assert all(cl["species_purity"] > 0.5 for cl in eco["clusters"])
+        finally:
+            srv.stop()
