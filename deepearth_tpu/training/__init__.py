@@ -21,6 +21,7 @@ from .recipes import (
 )
 from .trainer import (
     TrainState,
+    partial_load_params,
     Trainer,
     create_optimizer,
     make_eval_step,
@@ -28,6 +29,7 @@ from .trainer import (
 )
 
 __all__ = [
+    "partial_load_params",
     "create_vision_decoder_finetune_state",
     "frozen_optimizer",
     "make_autoencoder_step",

@@ -248,3 +248,31 @@ class Trainer:
         for batch in batches:
             acc.update(self.eval_step(state, batch))
         return acc.result()
+
+
+def partial_load_params(init_params, loaded_params):
+    """Shape-matching partial parameter load for model extension
+    (reference: training/bidirectional_reconstruction.py:161-191): leaves
+    whose path exists in both trees AND shapes match are taken from the
+    checkpoint; everything else keeps its fresh initialization.
+
+    Returns (merged_params, n_loaded, n_skipped).
+    """
+    from flax import traverse_util
+
+    flat_init = traverse_util.flatten_dict(init_params)
+    flat_loaded = traverse_util.flatten_dict(loaded_params)
+    merged = {}
+    n_loaded = n_skipped = 0
+    for k, v in flat_init.items():
+        lv = flat_loaded.get(k)
+        if lv is not None and tuple(getattr(lv, "shape", ())) == tuple(
+            getattr(v, "shape", ())
+        ):
+            merged[k] = lv
+            n_loaded += 1
+        else:
+            merged[k] = v
+            if lv is not None:
+                n_skipped += 1
+    return traverse_util.unflatten_dict(merged), n_loaded, n_skipped
