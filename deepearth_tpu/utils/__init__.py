@@ -7,11 +7,15 @@ from .logging import (
     get_logger,
     setup_logging,
 )
+from .export import export_forward, export_model_forward, load_exported
 from .monitor import ResourceMonitor, resource_snapshot
 from .profiling import StepTimer, benchmark_fn, trace
 from .projection import EmbeddingProjector
 
 __all__ = [
+    "export_forward",
+    "export_model_forward",
+    "load_exported",
     "ResourceMonitor",
     "resource_snapshot",
     "JSONLMetricWriter",

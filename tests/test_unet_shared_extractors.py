@@ -112,3 +112,33 @@ class TestExtractors:
         # same results as serial
         serial = ex.extract_native_embeddings(items)
         np.testing.assert_allclose(out, serial)
+
+
+class TestExport:
+    def test_export_reload_roundtrip(self):
+        """StableHLO export → deserialize → same outputs (reference
+        run_tests.py TorchScript/ONNX export-check equivalent)."""
+        from deepearth_tpu.configs import tiny_config
+        from deepearth_tpu.models import DeepEarthModel
+        from deepearth_tpu.utils.export import export_model_forward, load_exported
+
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        batch = {
+            "xyzt": jax.random.uniform(jax.random.PRNGKey(0), (2, 4)),
+            "modalities": {"species": jnp.asarray([1, 2])},
+        }
+        params = model.init(jax.random.PRNGKey(1), batch)["params"]
+        blob = export_model_forward(model, params, batch)
+        assert isinstance(blob, (bytes, bytearray)) and len(blob) > 1000
+
+        fn = load_exported(bytes(blob))
+        fused, recon = fn(batch)
+        expected = model.apply({"params": params}, batch)
+        # tiny_config computes in bfloat16 → compare at bf16 precision
+        np.testing.assert_allclose(
+            np.asarray(fused, np.float32),
+            np.asarray(expected["fused_representation"], np.float32),
+            rtol=3e-2, atol=3e-2,
+        )
+        assert recon["species"].shape == (2, 232)
