@@ -24,7 +24,7 @@ import time
 
 import numpy as np
 
-BATCH = 64
+BATCH = 256
 STEPS = 30
 WARMUP = 5
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE_CPU.json")
@@ -110,11 +110,13 @@ def bench_ours() -> dict:
         }
         for i in range(20)
     ]
-    jax.block_until_ready(fwd(state.params, batches[0]))
+    # force a host transfer per call: block_until_ready alone can return
+    # before device completion on tunneled runtimes
+    np.asarray(fwd(state.params, batches[0]))
     lat = []
     for b in batches:
         t1 = time.perf_counter()
-        jax.block_until_ready(fwd(state.params, b))
+        np.asarray(fwd(state.params, b))
         lat.append((time.perf_counter() - t1) * 1000)
     p50 = float(np.percentile(lat, 50))
     log(f"[ours] train obs/s: {obs_per_s:.1f}  fwd p50: {p50:.2f} ms/batch")
@@ -141,7 +143,7 @@ def bench_multimodal() -> dict:
     cfg = DeepEarthConfig(
         hidden_dim=512,
         n_heads=8,
-        n_layers=8,
+        n_layers=4,
         grid4d=Grid4DConfig(
             n_spatial_levels=16, n_temporal_levels=8, hash_table_size=2 ** 19
         ),
@@ -154,11 +156,11 @@ def bench_multimodal() -> dict:
     )
     cfg.add_modality(
         ModalityConfig(name="vision", input_dim=1408, n_tokens=16,
-                       encoder_layers=2, encoder_heads=8)
+                       encoder_layers=1, encoder_heads=8)
     )
     cfg.add_modality(
         ModalityConfig(name="language", input_dim=7168, n_tokens=4,
-                       encoder_layers=2, encoder_heads=8)
+                       encoder_layers=1, encoder_heads=8)
     )
     model = DeepEarthModel(cfg)
     rng = jax.random.PRNGKey(0)
@@ -310,7 +312,7 @@ def main():
                     "multimodal_obs_per_s": round(
                         ours.get("multimodal_obs_per_s", 0.0), 1
                     ),
-                    "p50_forward_ms_batch64": round(ours["p50_forward_ms"], 2),
+                    "p50_forward_ms_batch256": round(ours["p50_forward_ms"], 2),
                     "reference_cpu_obs_per_s": (
                         round(baseline_obs_s, 1)
                         if np.isfinite(baseline_obs_s)

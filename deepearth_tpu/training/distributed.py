@@ -121,6 +121,10 @@ class DistributedTrainer:
         self._step_fn = jax.jit(
             train_step,
             in_shardings=(self._state_shardings, batch_sh, replicated(self.mesh)),
+            # pin output shardings so the state round-trips unchanged
+            # (otherwise jit may pick different layouts for returned params
+            # and step 2 rejects them)
+            out_shardings=(self._state_shardings, None),
             donate_argnums=(0,),
         )
         return state

@@ -1,0 +1,103 @@
+"""DistributedTrainer tests on the virtual 8-device CPU mesh."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepearth_tpu.configs import (
+    DeepSeekBlockConfig,
+    MLAConfig,
+    ModalityConfig,
+    MoEConfig,
+    tiny_config,
+)
+from deepearth_tpu.models import DeepEarthModel
+from deepearth_tpu.parallel import create_mesh, make_param_shardings, param_spec
+from deepearth_tpu.training import LossWeights
+from deepearth_tpu.training.distributed import DistributedTrainer
+from jax.sharding import PartitionSpec as P
+
+
+def dp_ep_tp_config():
+    cfg = tiny_config()
+    cfg.hidden_dim = 64
+    cfg.n_heads = 4
+    cfg.fusion.universal_dim = 64
+    cfg.fusion.num_fusion_layers = 2
+    cfg.fusion.num_heads = 4
+    cfg.fusion.deepseek_block = DeepSeekBlockConfig(
+        hidden_dim=64, n_layers=2, intermediate_size=128,
+        mla=MLAConfig(hidden_dim=64, n_heads=4, kv_lora_rank=16,
+                      qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16),
+        moe=MoEConfig(n_routed_experts=4, num_experts_per_tok=2,
+                      moe_intermediate_size=128, hidden_dim=64,
+                      n_shared_experts=1),
+        first_k_dense_replace=1,
+    )
+    return cfg
+
+
+def make_batch(b):
+    k = jax.random.PRNGKey(0)
+    return {
+        "xyzt": jax.random.uniform(k, (b, 4)),
+        "modalities": {"species": jax.random.randint(k, (b,), 0, 232)},
+    }
+
+
+class TestShardingRules:
+    def test_param_spec_rules(self, devices):
+        mesh = create_mesh(devices)  # (2, 2, 2)
+        # MoE experts shard over expert axis, F over model
+        assert param_spec("moe/w_gate", (4, 64, 128), mesh) == P(
+            "expert", None, "model"
+        )
+        assert param_spec("moe/w_down", (4, 128, 64), mesh) == P(
+            "expert", "model", None
+        )
+        # hash tables shard T over model
+        assert param_spec("spatial/tables", (8, 1024, 2), mesh) == P(
+            None, "model", None
+        )
+        # large kernels shard over model; small ones replicate
+        assert param_spec("mlp/kernel", (512, 2048), mesh) == P(None, "model")
+        assert param_spec("mlp/kernel", (16, 32), mesh) == P()
+        # non-divisible dims fall back to replication
+        assert param_spec("moe/w_gate", (3, 64, 128), mesh) == P(
+            None, None, "model"
+        )
+
+    def test_make_param_shardings_handles_scalars(self, devices):
+        mesh = create_mesh(devices)
+        tree = {"a": {"kernel": np.zeros((256, 256))}, "count": 3}
+        sh = make_param_shardings(tree, mesh)
+        assert sh["count"].spec == P()
+
+
+class TestDistributedTrainer:
+    def test_two_steps_loss_finite_and_sharded(self, devices):
+        cfg = dp_ep_tp_config()
+        model = DeepEarthModel(cfg)
+        mesh = create_mesh(devices)
+        trainer = DistributedTrainer(
+            model, cfg, LossWeights(contrastive=0.01), mesh=mesh,
+            lr_scale_by_data_parallel=True,
+        )
+        batch = make_batch(8)
+        state = trainer.init_state(batch)
+        # expert weights actually sharded over the expert axis
+        w = state.params["simulator"]["layer_1"]["moe"]["w_gate"]
+        assert "expert" in str(w.sharding.spec)
+        state, m1 = trainer.step(state, batch)
+        state, m2 = trainer.step(state, batch)
+        assert np.isfinite(float(np.asarray(m2["loss/total"])))
+
+    def test_lr_scaling(self, devices):
+        cfg = dp_ep_tp_config()
+        base_lr = cfg.optimizer.learning_rate
+        mesh = create_mesh(devices)
+        DistributedTrainer(DeepEarthModel(cfg), cfg, mesh=mesh)
+        assert cfg.optimizer.learning_rate == base_lr * mesh.shape["data"]
