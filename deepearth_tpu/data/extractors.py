@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import abc
 import hashlib
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

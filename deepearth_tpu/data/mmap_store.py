@@ -16,11 +16,10 @@ into a pinned host array ready for jax.device_put.
 
 from __future__ import annotations
 
-import json
 import os
 import threading
 import time
-from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 

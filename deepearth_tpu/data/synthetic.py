@@ -10,7 +10,7 @@ from it and loss curves are meaningful in tests.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Iterator, Optional, Sequence
 
 import numpy as np

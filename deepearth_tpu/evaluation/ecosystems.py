@@ -9,7 +9,7 @@ its dominant species and spatial footprint, and scores cluster quality.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

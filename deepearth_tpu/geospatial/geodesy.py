@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import csv
 import os
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 

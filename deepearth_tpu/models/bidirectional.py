@@ -20,9 +20,7 @@ from typing import Dict, Optional, Tuple
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..configs import TransformerConfig
 from ..ops.attention import dot_product_attention
-from .transformer import Transformer
 
 
 class VisionSequenceDecoder(nn.Module):

@@ -23,7 +23,7 @@ the mask token; losses are computed on the masked-out entries.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

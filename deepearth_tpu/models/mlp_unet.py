@@ -8,7 +8,7 @@ concatenation; input-level masking hides a random fraction of input features
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,7 +8,7 @@ training/losses.clip_contrastive_loss)."""
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 from flax import linen as nn

@@ -21,7 +21,7 @@ the TPU vector unit natively supports.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ all_to_all EP in encoders/modeling_deepseek.py:485-597):
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import numpy as np

@@ -18,7 +18,7 @@ rendezvous):
 from __future__ import annotations
 
 import os
-from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+from typing import Any, Dict, Iterable, Optional, Tuple
 
 import jax
 import numpy as np

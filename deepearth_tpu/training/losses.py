@@ -14,7 +14,7 @@ Masked-row convention: losses average over rows whose mask is False
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, Optional, Tuple
 
 import jax

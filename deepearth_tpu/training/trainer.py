@@ -15,7 +15,6 @@ import time
 from typing import Any, Callable, Dict, Iterable, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 import optax
 from flax.training import train_state
 

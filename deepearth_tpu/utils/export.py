@@ -7,7 +7,7 @@ portable StableHLO bytes, reload, and call without the original Python model.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Callable, Tuple
 
 import jax
 

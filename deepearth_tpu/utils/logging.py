@@ -13,7 +13,7 @@ import logging
 import os
 import sys
 import time
-from typing import Dict, Mapping, Optional
+from typing import Mapping
 
 
 def get_logger(component: str) -> logging.Logger:

@@ -6,7 +6,6 @@ stats, logged through the metric writers)."""
 from __future__ import annotations
 
 import threading
-import time
 from typing import Callable, Dict, Optional
 
 import psutil
