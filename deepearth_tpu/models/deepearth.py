@@ -23,6 +23,7 @@ the mask token; losses are computed on the masked-out entries.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Dict
 
 import jax.numpy as jnp
@@ -37,9 +38,58 @@ from .grid4d import Grid4DEncoder
 
 
 def _native_dim(m: ModalityConfig) -> int:
-    if m.encoding_type == "learned_embedding":
+    if m.encoding_type in ("learned_embedding", "token_sequence"):
         return m.vocab_size
     return m.input_dim
+
+
+class TokenSequenceDecoder(nn.Module):
+    """Per-position MLM logits from fused modality tokens: learned position
+    queries cross-attend into the modality's fused tokens, then project to
+    the vocabulary (reference MLM objective: train_deepearth2.py language CE,
+    [MASK] reconstruction)."""
+
+    seq_len: int
+    vocab_size: int
+    dim: int
+    n_heads: int = 8
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, fused_tokens: jnp.ndarray) -> jnp.ndarray:
+        """fused_tokens: (B, n_tokens, dim) → (B, seq_len, vocab)."""
+        from ..ops.attention import dot_product_attention
+
+        B = fused_tokens.shape[0]
+        D, H = self.dim, self.n_heads
+        Dh = D // H
+        queries = self.param(
+            "position_queries", nn.initializers.normal(0.02),
+            (self.seq_len, D), self.param_dtype,
+        )
+        q_in = jnp.broadcast_to(
+            queries.astype(self.compute_dtype)[None], (B, self.seq_len, D)
+        )
+        dense = lambda name: nn.Dense(  # noqa: E731
+            D, use_bias=False, dtype=self.compute_dtype,
+            param_dtype=self.param_dtype, name=name,
+        )
+        kv = fused_tokens.astype(self.compute_dtype)
+        q = dense("q")(q_in).reshape(B, self.seq_len, H, Dh).transpose(0, 2, 1, 3)
+        k = dense("k")(kv).reshape(B, kv.shape[1], H, Dh).transpose(0, 2, 1, 3)
+        v = dense("v")(kv).reshape(B, kv.shape[1], H, Dh).transpose(0, 2, 1, 3)
+        out = dot_product_attention(q, k, v, scale=Dh ** -0.5)
+        h = q_in + dense("o")(
+            out.transpose(0, 2, 1, 3).reshape(B, self.seq_len, D)
+        )
+        h = nn.LayerNorm(
+            dtype=self.compute_dtype, param_dtype=self.param_dtype, name="norm"
+        )(h)
+        return nn.Dense(
+            self.vocab_size, dtype=self.compute_dtype,
+            param_dtype=self.param_dtype, name="vocab_proj",
+        )(h)
 
 
 class DeepEarthModel(nn.Module):
@@ -93,6 +143,20 @@ class DeepEarthModel(nn.Module):
                     embedding_init=nn.initializers.normal(0.02),
                     name=f"embed_{name}",
                 )(x.astype(jnp.int32))[:, None, :]
+            elif m.encoding_type == "token_sequence":
+                # (B, S) int token ids → embeddings; MLM-masked positions are
+                # zeroed via modality_patch_masks before encoding
+                emb = nn.Embed(
+                    m.vocab_size, D, dtype=cd, param_dtype=pd,
+                    embedding_init=nn.initializers.normal(0.02),
+                    name=f"embed_{name}",
+                )(x.astype(jnp.int32))  # (B, S, D)
+                if name in patch_masks:
+                    emb = emb * patch_masks[name][..., None].astype(emb.dtype)
+                tok = UniversalTokenEncoder(
+                    dataclasses.replace(m, input_dim=D), D, cd, pd,
+                    name=f"encoder_{name}",
+                )(emb, deterministic=deterministic)
             else:
                 tok = UniversalTokenEncoder(
                     m, D, cd, pd, name=f"encoder_{name}"
@@ -147,6 +211,16 @@ class DeepEarthModel(nn.Module):
             if name not in tokens:
                 continue
             m = cfg.modalities[name]
+            if m.encoding_type == "token_sequence":
+                recon[name] = TokenSequenceDecoder(
+                    seq_len=modalities[name].shape[1],
+                    vocab_size=m.vocab_size,
+                    dim=D,
+                    n_heads=m.encoder_heads,
+                    compute_dtype=cd, param_dtype=pd,
+                    name=f"decoder_{name}",
+                )(fusion_out["modality_tokens"][name])
+                continue
             pooled = fusion_out["modality_tokens"][name].mean(axis=1)
             recon[name] = ModalityDecoder(
                 D, _native_dim(m), dropout=0.0,

@@ -125,6 +125,27 @@ def deepearth_loss(
             ~masks[name] if name in masks else jnp.ones(xyzt.shape[0], bool)
         )
         pred = recon[name].astype(jnp.float32)
+        if m.encoding_type == "token_sequence":
+            # MLM: per-token CE over hidden positions
+            # (reference: train_deepearth2.py language CE)
+            per_tok = optax.softmax_cross_entropy_with_integer_labels(
+                pred, target.astype(jnp.int32)
+            )  # (B, S)
+            tok_mask = batch.get("modality_patch_masks", {}).get(name)
+            hidden_tok = (
+                ~tok_mask if tok_mask is not None
+                else jnp.ones_like(per_tok, bool)
+            )
+            hidden_tok = hidden_tok | hidden[:, None]
+            w_tok = hidden_tok.astype(jnp.float32)
+            l_m = jnp.sum(per_tok * w_tok) / jnp.maximum(jnp.sum(w_tok), 1.0)
+            acc_tok = (jnp.argmax(pred, -1) == target).astype(jnp.float32)
+            metrics[f"acc/{name}"] = jnp.sum(acc_tok * w_tok) / jnp.maximum(
+                jnp.sum(w_tok), 1.0
+            )
+            metrics[f"loss/{name}"] = l_m
+            total = total + w.modality * m.loss_weight * l_m
+            continue
         if m.encoding_type == "learned_embedding":
             per_row = optax.softmax_cross_entropy_with_integer_labels(
                 pred, target.astype(jnp.int32)

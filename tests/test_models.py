@@ -416,3 +416,35 @@ class TestPatchMasking:
             np.asarray(out2["input_tokens"]["vision"]),
             atol=1e-6,
         )
+
+
+class TestTokenSequenceModality:
+    def test_mlm_forward_and_loss(self):
+        from deepearth_tpu.training import LossWeights, deepearth_loss
+        from deepearth_tpu.training.masking import mlm_token_mask
+
+        cfg = tiny_config()
+        cfg.add_modality(
+            ModalityConfig(
+                name="text", encoding_type="token_sequence",
+                input_type="categorical", vocab_size=100, n_tokens=2,
+                encoder_layers=1, encoder_heads=2,
+            )
+        )
+        model = DeepEarthModel(cfg)
+        b, s = 4, 12
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        batch["modalities"]["text"] = jax.random.randint(
+            jax.random.PRNGKey(5), (b, s), 0, 100
+        )
+        batch["modality_patch_masks"] = {
+            "text": mlm_token_mask(jax.random.PRNGKey(6), b, s, 0.15)
+        }
+        params = model.init(jax.random.PRNGKey(1), batch)
+        out = model.apply(params, batch)
+        assert out["reconstructions"]["text"].shape == (b, s, 100)
+        total, metrics = deepearth_loss(
+            out, batch, cfg, LossWeights(contrastive=0.0)
+        )
+        assert np.isfinite(float(total))
+        assert "loss/text" in metrics and "acc/text" in metrics
