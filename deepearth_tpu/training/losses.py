@@ -30,6 +30,10 @@ class LossWeights:
     temporal: float = 1.0
     modality: float = 1.0  # scaled further by ModalityConfig.loss_weight
     contrastive: float = 0.1
+    # species-aware supervised contrastive on the fused representation
+    # (reference: training/multimodal_autoencoder.py:362-395); needs a
+    # categorical 'species' modality in the batch
+    species_contrastive: float = 0.0
     moe_aux: float = 0.0
     contrastive_temperature: float = 0.07  # reference: train_deepearth2.py
 
@@ -181,6 +185,20 @@ def deepearth_loss(
             l_c = l_c / n_pairs
             metrics["loss/contrastive"] = l_c
             total = total + w.contrastive * l_c
+
+    # -- species-aware contrastive ------------------------------------------- #
+    if (
+        w.species_contrastive > 0
+        and "species" in batch.get("modalities", {})
+        and "fused_representation" in outputs
+    ):
+        l_sc = species_contrastive_loss(
+            outputs["fused_representation"].astype(jnp.float32),
+            batch["modalities"]["species"].astype(jnp.int32),
+            w.contrastive_temperature,
+        )
+        metrics["loss/species_contrastive"] = l_sc
+        total = total + w.species_contrastive * l_sc
 
     # -- MoE aux ------------------------------------------------------------- #
     if w.moe_aux > 0 and intermediates:

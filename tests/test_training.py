@@ -146,3 +146,23 @@ class TestMetrics:
         line = format_epoch_line(42, res, {"obs/s": 123.4})
         assert line.startswith("E042")
         assert "L:2.0000" in line and "obs/s:123.4" in line
+
+
+class TestSpeciesContrastiveInMainLoss:
+    def test_weight_enables_term(self):
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        batch = {
+            "xyzt": jax.random.uniform(jax.random.PRNGKey(0), (8, 4)),
+            "modalities": {"species": jnp.asarray([0, 0, 1, 1, 2, 2, 3, 3])},
+        }
+        params = model.init(jax.random.PRNGKey(1), batch)
+        out = model.apply(params, batch)
+        _, m0 = deepearth_loss(out, batch, cfg, LossWeights(contrastive=0.0))
+        assert "loss/species_contrastive" not in m0
+        total, m1 = deepearth_loss(
+            out, batch, cfg,
+            LossWeights(contrastive=0.0, species_contrastive=0.5),
+        )
+        assert "loss/species_contrastive" in m1
+        assert np.isfinite(float(total))
