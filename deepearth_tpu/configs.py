@@ -240,6 +240,12 @@ class FusionConfig:
     use_rotary_embeddings: bool = True
     use_gated_mlp: bool = True
     cross_attention_freq: int = 3
+    # Context for the periodic cross-attention layers: 'inputs' attends back
+    # to the pre-fusion embedded modality tokens (the design intent);
+    # 'self' reproduces the reference's shipped behavior of passing the
+    # current hidden states (reference: models/cross_modal_fusion.py:435-445
+    # — a second self-attention in practice).
+    cross_attention_context: str = "inputs"
     spatial_aware: bool = True
     temporal_aware: bool = True
     max_seq_length: int = 8192

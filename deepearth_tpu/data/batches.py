@@ -64,8 +64,9 @@ def threaded_producer(
         try:
             for item in make_iterator():
                 q.put(item)
-        finally:
             q.put(_END)
+        except BaseException as e:  # propagate to the consumer, don't swallow
+            q.put(e)
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
@@ -73,6 +74,8 @@ def threaded_producer(
         item = q.get()
         if item is _END:
             return
+        if isinstance(item, BaseException):
+            raise item
         yield item
 
 

@@ -27,18 +27,31 @@ def _train_linear_probe(
     steps: int = 300,
     lr: float = 1e-2,
     seed: int = 0,
+    holdout_frac: float = 0.2,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Fit W, b with adam on frozen features; returns predictions on feats."""
-    x = jnp.asarray(feats, jnp.float32)
-    x = (x - x.mean(0)) / (x.std(0) + 1e-6)
+    """Fit W, b with adam on a train split of the frozen features; returns
+    predictions and targets on the HELD-OUT split (metrics are generalization
+    numbers, not training-set fit)."""
+    rng = np.random.default_rng(seed)
+    n = len(feats)
+    perm = rng.permutation(n)
+    n_test = max(1, int(round(n * holdout_frac)))
+    test_idx, train_idx = perm[:n_test], perm[n_test:]
+    if len(train_idx) == 0:
+        train_idx = test_idx
+
+    x_all = jnp.asarray(feats, jnp.float32)
+    mu, sd = x_all[train_idx].mean(0), x_all[train_idx].std(0) + 1e-6
+    x = (x_all[train_idx] - mu) / sd
     if kind == "classification":
-        y = jnp.asarray(targets, jnp.int32)
+        y_all = jnp.asarray(targets, jnp.int32)
         out_dim = n_classes
     else:
-        y = jnp.asarray(targets, jnp.float32)
-        if y.ndim == 1:
-            y = y[:, None]
-        out_dim = y.shape[-1]
+        y_all = jnp.asarray(targets, jnp.float32)
+        if y_all.ndim == 1:
+            y_all = y_all[:, None]
+        out_dim = y_all.shape[-1]
+    y = y_all[train_idx]
 
     key = jax.random.PRNGKey(seed)
     params = {
@@ -62,8 +75,9 @@ def _train_linear_probe(
 
     for _ in range(steps):
         params, opt_state = step(params, opt_state)
-    pred = np.asarray(x @ params["w"] + params["b"])
-    return pred, np.asarray(y)
+    x_test = (x_all[test_idx] - mu) / sd
+    pred = np.asarray(x_test @ params["w"] + params["b"])
+    return pred, np.asarray(y_all[test_idx])
 
 
 def regression_metrics(pred: np.ndarray, true: np.ndarray) -> Dict[str, float]:

@@ -101,11 +101,8 @@ class SpatiotemporalMetrics:
 
 
 def haversine_like(lat, lon, clat, clon) -> np.ndarray:
-    """Great-circle distance (km) from points to a single centre."""
-    lat, lon = np.deg2rad(np.asarray(lat)), np.deg2rad(np.asarray(lon))
-    clat_r, clon_r = np.deg2rad(clat), np.deg2rad(clon)
-    a = (
-        np.sin((lat - clat_r) / 2) ** 2
-        + np.cos(lat) * np.cos(clat_r) * np.sin((lon - clon_r) / 2) ** 2
-    )
-    return 2 * 6371.0 * np.arcsin(np.sqrt(np.clip(a, 0, 1)))
+    """Great-circle distance (km) from points to a single centre
+    (delegates to the data layer's haversine_km — one implementation)."""
+    from ..data.splits import haversine_km
+
+    return haversine_km(np.asarray(lat), np.asarray(lon), clat, clon)

@@ -69,15 +69,21 @@ class GeoOrientation:
         )
 
     def to_rotation_matrix(self) -> np.ndarray:
-        """YPR → 3x3 rotation matrix, aerospace order yaw→pitch→roll."""
+        """YPR → 3x3 rotation matrix, aerospace order Rz(yaw)·Ry(pitch)·Rx(roll).
+
+        Matches geodesy.ypr_to_rotation / rotation_to_ypr so the two APIs
+        round-trip. (The reference composed the factors in the reverse order
+        in data_structures.py while its converter used the aerospace order —
+        an internal inconsistency we do not reproduce.)
+        """
         y, p, r = self.to_radians()
         cy, sy = np.cos(y), np.sin(y)
         cp, sp = np.cos(p), np.sin(p)
         cr, sr = np.cos(r), np.sin(r)
-        Ry = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
-        Rp = np.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
-        Rr = np.array([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
-        return Rr @ Rp @ Ry
+        Rz = np.array([[cy, -sy, 0.0], [sy, cy, 0.0], [0.0, 0.0, 1.0]])
+        Ry = np.array([[cp, 0.0, sp], [0.0, 1.0, 0.0], [-sp, 0.0, cp]])
+        Rx = np.array([[1.0, 0.0, 0.0], [0.0, cr, -sr], [0.0, sr, cr]])
+        return Rz @ Ry @ Rx
 
 
 @dataclass

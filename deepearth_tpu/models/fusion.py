@@ -227,6 +227,7 @@ class CrossModalFusion(nn.Module):
             idx += n
 
         h = jnp.concatenate(parts, axis=1)
+        h_inputs = h  # pre-fusion embedded tokens for cross-attention context
 
         layer_cls = FusionLayer
         if self.remat:
@@ -237,7 +238,10 @@ class CrossModalFusion(nn.Module):
                 compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                 name=f"layer_{i}",
             )
-            ctx = h if (i % cfg.cross_attention_freq == 0) else None
+            if i % cfg.cross_attention_freq == 0:
+                ctx = h_inputs if cfg.cross_attention_context == "inputs" else h
+            else:
+                ctx = None
             h = layer(h, ctx, None, deterministic)
 
         h = nn.LayerNorm(

@@ -95,8 +95,19 @@ class DistributedTrainer:
         self.mesh = mesh or create_mesh()
         self.rng = jax.random.PRNGKey(seed)
         if lr_scale_by_data_parallel:
-            # LR × data-parallel width (reference: hpc/train_distrbuted.py:517)
-            config.optimizer.learning_rate *= int(self.mesh.shape["data"])
+            # LR × data-parallel width (reference: hpc/train_distrbuted.py:517);
+            # copy the optimizer config so the caller's object is untouched and
+            # re-construction doesn't compound the scaling
+            import dataclasses
+
+            self.config = config = dataclasses.replace(
+                config,
+                optimizer=dataclasses.replace(
+                    config.optimizer,
+                    learning_rate=config.optimizer.learning_rate
+                    * int(self.mesh.shape["data"]),
+                ),
+            )
         self._loss_weights = loss_weights or LossWeights()
         self._step_fn = None
         self._state_shardings = None

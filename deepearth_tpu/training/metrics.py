@@ -33,23 +33,27 @@ def time_error_hours(
 
 
 class MetricAccumulator:
-    """Running means over a pass (host-side)."""
+    """Running means over a pass.
+
+    update() only appends device scalars — no host sync, so it never blocks
+    the training pipeline; conversion happens once in result().
+    """
 
     def __init__(self):
-        self._sums: Dict[str, float] = {}
-        self._counts: Dict[str, int] = {}
+        self._vals: Dict[str, list] = {}
 
     def update(self, metrics: Mapping[str, jnp.ndarray]) -> None:
         for k, v in metrics.items():
-            self._sums[k] = self._sums.get(k, 0.0) + float(np.asarray(v))
-            self._counts[k] = self._counts.get(k, 0) + 1
+            self._vals.setdefault(k, []).append(v)
 
     def result(self) -> Dict[str, float]:
-        return {k: self._sums[k] / self._counts[k] for k in self._sums}
+        return {
+            k: float(np.mean([np.asarray(v) for v in vs]))
+            for k, vs in self._vals.items()
+        }
 
     def reset(self) -> None:
-        self._sums.clear()
-        self._counts.clear()
+        self._vals.clear()
 
 
 def format_epoch_line(

@@ -20,7 +20,7 @@ from flax.training import train_state
 
 from ..configs import DeepEarthConfig, OptimizerConfig
 from .losses import LossWeights, deepearth_loss
-from .masking import sample_masks
+from .masking import mae_patch_mask, mlm_token_mask, sample_masks
 from .metrics import MetricAccumulator, format_epoch_line
 
 logger = logging.getLogger("DeepEarth.Trainer")
@@ -70,7 +70,7 @@ def make_train_step(
     }
 
     def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
-        rng_mask, rng_drop = jax.random.split(rng)
+        rng_mask, rng_patch, rng_drop = jax.random.split(rng, 3)
         if apply_masking:
             masks = sample_masks(
                 rng_mask,
@@ -80,6 +80,27 @@ def make_train_step(
                 modality_probs,
             )
             batch = {**batch, **masks}
+            # per-patch / per-token masking (reference: train_deepearth2.py
+            # 75% MAE vision patches, 15% MLM language tokens)
+            patch_masks = dict(batch.get("modality_patch_masks", {}))
+            pkeys = jax.random.split(rng_patch, max(len(modality_names), 1))
+            for i, name in enumerate(modality_names):
+                if name in patch_masks or name not in batch.get("modalities", {}):
+                    continue
+                x = batch["modalities"][name]
+                m = config.modalities[name]
+                if m.encoding_type == "token_sequence" and x.ndim == 2:
+                    patch_masks[name] = mlm_token_mask(
+                        pkeys[i], x.shape[0], x.shape[1],
+                        config.masking.language_token_mask_prob,
+                    )
+                elif m.encoding_type == "continuous_values" and x.ndim == 3:
+                    patch_masks[name] = mae_patch_mask(
+                        pkeys[i], x.shape[0], x.shape[1],
+                        config.masking.vision_patch_mask_prob,
+                    )
+            if patch_masks:
+                batch = {**batch, "modality_patch_masks": patch_masks}
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -167,6 +188,10 @@ class Trainer:
 
     def save(self, state: TrainState, step: int, metrics=None) -> None:
         if self._ckpt_mgr is None:
+            return
+        # best-val and periodic saves can coincide on the same step; orbax
+        # raises StepAlreadyExistsError on duplicates
+        if self._ckpt_mgr.latest_step() == step:
             return
         import orbax.checkpoint as ocp
 

@@ -38,9 +38,11 @@ def benchmark_fn(
     fn must block on its result (call jax.block_until_ready inside or
     return a jax array, which we block on here).
     """
+    out = None
     for _ in range(warmup):
         out = fn()
-    _block(out)
+    if out is not None:
+        _block(out)
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
