@@ -10,6 +10,8 @@ from .decoders import ModalityDecoder, SpatiotemporalDecoder
 from .deepearth import DeepEarthModel
 from .deepseek import (
     DeepSeekBlock,
+    DeepSeekForCausalLM,
+    DeepSeekForSequenceClassification,
     DeepSeekTransformer,
     MLAttention,
     MoELayer,
@@ -41,6 +43,8 @@ from .transformer import (
 )
 
 __all__ = [
+    "DeepSeekForCausalLM",
+    "DeepSeekForSequenceClassification",
     "MLPUNet",
     "MultimodalUNet",
     "LatentPool",

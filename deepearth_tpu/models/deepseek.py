@@ -326,3 +326,81 @@ class DeepSeekTransformer(nn.Module):
                 name=f"layer_{i}",
             )(x, key_mask, is_causal, deterministic)
         return RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)
+
+
+class DeepSeekForCausalLM(nn.Module):
+    """Token-embedding + DeepSeek stack + LM head
+    (reference: encoders/modeling_deepseek.py:1514 DeepseekV3ForCausalLM)."""
+
+    cfg: DeepSeekBlockConfig
+    vocab_size: int
+    tie_embeddings: bool = True
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """input_ids: (B, S) int32 → logits (B, S, vocab)."""
+        embed = nn.Embed(
+            self.vocab_size, self.cfg.hidden_dim,
+            dtype=self.compute_dtype, param_dtype=self.param_dtype,
+            embedding_init=nn.initializers.normal(0.02), name="embed_tokens",
+        )
+        h = embed(input_ids.astype(jnp.int32))
+        h = DeepSeekTransformer(
+            self.cfg, self.compute_dtype, self.param_dtype, name="model"
+        )(h, key_mask=attention_mask, is_causal=True,
+          deterministic=deterministic)
+        if self.tie_embeddings:
+            logits = embed.attend(h.astype(self.param_dtype))
+        else:
+            logits = nn.Dense(
+                self.vocab_size, use_bias=False,
+                dtype=self.compute_dtype, param_dtype=self.param_dtype,
+                name="lm_head",
+            )(h)
+        return logits
+
+
+class DeepSeekForSequenceClassification(nn.Module):
+    """Pooled classifier head over the DeepSeek stack
+    (reference: encoders/modeling_deepseek.py:1734)."""
+
+    cfg: DeepSeekBlockConfig
+    num_labels: int
+    vocab_size: Optional[int] = None  # set for token-id input
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        inputs: jnp.ndarray,
+        attention_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        if self.vocab_size is not None:
+            h = nn.Embed(
+                self.vocab_size, self.cfg.hidden_dim,
+                dtype=self.compute_dtype, param_dtype=self.param_dtype,
+                name="embed_tokens",
+            )(inputs.astype(jnp.int32))
+        else:
+            h = inputs.astype(self.compute_dtype)
+        h = DeepSeekTransformer(
+            self.cfg, self.compute_dtype, self.param_dtype, name="model"
+        )(h, key_mask=attention_mask, deterministic=deterministic)
+        if attention_mask is not None:
+            w = attention_mask[..., None].astype(h.dtype)
+            pooled = (h * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
+        else:
+            pooled = h.mean(axis=1)
+        return nn.Dense(
+            self.num_labels, dtype=self.compute_dtype,
+            param_dtype=self.param_dtype, name="score",
+        )(pooled)
