@@ -99,5 +99,12 @@ class TestDistributedTrainer:
         cfg = dp_ep_tp_config()
         base_lr = cfg.optimizer.learning_rate
         mesh = create_mesh(devices)
-        DistributedTrainer(DeepEarthModel(cfg), cfg, mesh=mesh)
-        assert cfg.optimizer.learning_rate == base_lr * mesh.shape["data"]
+        trainer = DistributedTrainer(DeepEarthModel(cfg), cfg, mesh=mesh)
+        # scaling is applied to the trainer's own config copy…
+        assert (
+            trainer.config.optimizer.learning_rate
+            == base_lr * mesh.shape["data"]
+        )
+        # …and the caller's config is untouched (re-construction must not
+        # compound the scaling)
+        assert cfg.optimizer.learning_rate == base_lr
