@@ -1,10 +1,17 @@
-"""Reconstruction side-pipeline (L7): posed imagery, point clouds.
+"""Reconstruction side-pipeline (L7): posed imagery, point clouds, and a
+TPU-native differentiable Gaussian-splat renderer (dense einsum rasterizer
+replacing the reference's CUDA gsplat)."""
 
-Gaussian splatting (reference: reconstruction/gaussian_splat.py, gsplat CUDA)
-has no TPU-native rasterizer; the dataset/point-cloud layers here feed either
-a host-side renderer or export to standard tools. See docs for scope notes.
-"""
-
+from .gaussian_splat import (
+    Camera,
+    GaussianScene,
+    fit_scene,
+    init_scene,
+    project_gaussians,
+    prune_scene,
+    quat_to_rotmat,
+    render,
+)
 from .geofusion_dataset import CameraIntrinsics, Frame, GeoFusionDataset
 from .point_cloud import (
     depth_to_world_cloud,
@@ -16,6 +23,14 @@ from .point_cloud import (
 )
 
 __all__ = [
+    "Camera",
+    "GaussianScene",
+    "fit_scene",
+    "init_scene",
+    "project_gaussians",
+    "prune_scene",
+    "quat_to_rotmat",
+    "render",
     "CameraIntrinsics",
     "Frame",
     "GeoFusionDataset",

@@ -1,0 +1,222 @@
+"""Differentiable 3D Gaussian splatting in pure JAX.
+
+TPU-native replacement for the reference's CUDA gsplat trainer
+(reference: reconstruction/gaussian_splat.py:44-60 — gsplat rasterizer,
+30k iters, densify/prune). The CUDA tile rasterizer doesn't exist on TPU;
+instead the renderer evaluates every Gaussian densely against every pixel
+with depth-sorted alpha compositing — O(P·G) einsum/VPU work that XLA maps
+cleanly onto the chip. Practical for scenes up to ~10-50k Gaussians per
+render tile; everything is differentiable, so scenes are trained with optax
+end-to-end.
+
+Conventions: row-vector camera, OpenCV pinhole intrinsics, quaternions wxyz.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class GaussianScene(NamedTuple):
+    """Trainable scene parameters (a pytree)."""
+
+    means: jnp.ndarray  # (G, 3) world positions
+    log_scales: jnp.ndarray  # (G, 3)
+    quats: jnp.ndarray  # (G, 4) wxyz, normalized at use
+    colors: jnp.ndarray  # (G, 3) pre-sigmoid rgb
+    opacity_logits: jnp.ndarray  # (G,)
+
+
+class Camera(NamedTuple):
+    rotation: jnp.ndarray  # (3, 3) world→camera
+    translation: jnp.ndarray  # (3,) world→camera: x_cam = R @ x + t
+    fx: float
+    fy: float
+    cx: float
+    cy: float
+    width: int
+    height: int
+
+
+def init_scene(key: jax.Array, n_gaussians: int, extent: float = 1.0) -> GaussianScene:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return GaussianScene(
+        means=jax.random.uniform(
+            k1, (n_gaussians, 3), minval=-extent, maxval=extent
+        ),
+        log_scales=jnp.full((n_gaussians, 3), jnp.log(0.1 * extent)),
+        quats=jnp.tile(jnp.asarray([1.0, 0.0, 0.0, 0.0]), (n_gaussians, 1)),
+        colors=jax.random.normal(k2, (n_gaussians, 3)) * 0.1,
+        opacity_logits=jnp.full((n_gaussians,), -1.0),
+    )
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4) wxyz → (..., 3, 3)."""
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return jnp.stack(
+        [
+            jnp.stack([1 - 2 * (y * y + z * z), 2 * (x * y - w * z),
+                       2 * (x * z + w * y)], -1),
+            jnp.stack([2 * (x * y + w * z), 1 - 2 * (x * x + z * z),
+                       2 * (y * z - w * x)], -1),
+            jnp.stack([2 * (x * z - w * y), 2 * (y * z + w * x),
+                       1 - 2 * (x * x + y * y)], -1),
+        ],
+        axis=-2,
+    )
+
+
+def covariance_3d(scene: GaussianScene) -> jnp.ndarray:
+    """(G, 3, 3) Σ = R S S Rᵀ."""
+    R = quat_to_rotmat(scene.quats)
+    S = jnp.exp(scene.log_scales)
+    RS = R * S[:, None, :]
+    return RS @ jnp.swapaxes(RS, -1, -2)
+
+
+def project_gaussians(
+    scene: GaussianScene, cam: Camera, eps: float = 1e-6
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Project to image space.
+
+    Returns:
+        xy: (G, 2) pixel means
+        cov2d: (G, 2, 2) image-space covariances (+0.3px blur, gsplat default)
+        depth: (G,) camera-space z
+    """
+    p_cam = scene.means @ cam.rotation.T + cam.translation
+    z = jnp.maximum(p_cam[:, 2], eps)
+    x, y = p_cam[:, 0], p_cam[:, 1]
+    xy = jnp.stack([cam.fx * x / z + cam.cx, cam.fy * y / z + cam.cy], -1)
+
+    # Jacobian of the perspective projection (G, 2, 3)
+    zero = jnp.zeros_like(z)
+    J = jnp.stack(
+        [
+            jnp.stack([cam.fx / z, zero, -cam.fx * x / (z * z)], -1),
+            jnp.stack([zero, cam.fy / z, -cam.fy * y / (z * z)], -1),
+        ],
+        axis=-2,
+    )
+    W = cam.rotation  # (3, 3)
+    cov3d = covariance_3d(scene)
+    cov_cam = W @ cov3d @ W.T  # (G, 3, 3) via broadcasting
+    cov2d = J @ cov_cam @ jnp.swapaxes(J, -1, -2)
+    cov2d = cov2d + 0.3 * jnp.eye(2)
+    return xy, cov2d, p_cam[:, 2]
+
+
+def render(
+    scene: GaussianScene,
+    cam: Camera,
+    background: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Render (H, W, 3) with depth-sorted alpha compositing.
+
+    Dense evaluation: every Gaussian contributes to every pixel — the TPU
+    trades the CUDA tile rasterizer's sparsity for big regular einsums.
+    """
+    xy, cov2d, depth = project_gaussians(scene, cam)
+    g = scene.means.shape[0]
+
+    # depth sort (far Gaussians composite last → order front-to-back)
+    order = jnp.argsort(depth)
+    xy, depth = xy[order], depth[order]
+    cov2d = cov2d[order]
+    colors = jax.nn.sigmoid(scene.colors[order])
+    opac = jax.nn.sigmoid(scene.opacity_logits[order])
+    behind = depth <= 1e-4  # cull Gaussians behind the camera
+
+    # inverse 2x2 covariances
+    det = (
+        cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
+    )
+    det = jnp.maximum(det, 1e-9)
+    inv = (
+        jnp.stack(
+            [
+                jnp.stack([cov2d[:, 1, 1], -cov2d[:, 0, 1]], -1),
+                jnp.stack([-cov2d[:, 1, 0], cov2d[:, 0, 0]], -1),
+            ],
+            axis=-2,
+        )
+        / det[:, None, None]
+    )
+
+    ys = jnp.arange(cam.height, dtype=jnp.float32) + 0.5
+    xs = jnp.arange(cam.width, dtype=jnp.float32) + 0.5
+    px = jnp.stack(jnp.meshgrid(xs, ys), -1).reshape(-1, 2)  # (P, 2)
+
+    d = px[:, None, :] - xy[None, :, :]  # (P, G, 2)
+    # Mahalanobis distance via einsum — the hot op
+    maha = jnp.einsum("pgi,gij,pgj->pg", d, inv, d)
+    alpha = opac[None, :] * jnp.exp(-0.5 * maha)  # (P, G)
+    alpha = jnp.where(behind[None, :], 0.0, jnp.clip(alpha, 0.0, 0.995))
+
+    # front-to-back "over" compositing: T_g = prod_{g'<g} (1 - a_g')
+    transmittance = jnp.cumprod(1.0 - alpha, axis=1)
+    t_before = jnp.concatenate(
+        [jnp.ones((alpha.shape[0], 1)), transmittance[:, :-1]], axis=1
+    )
+    w = alpha * t_before  # (P, G)
+    img = w @ colors  # (P, 3)
+    if background is not None:
+        img = img + transmittance[:, -1:] * background[None, :]
+    return img.reshape(cam.height, cam.width, 3)
+
+
+def prune_scene(scene: GaussianScene, min_opacity: float = 0.01) -> GaussianScene:
+    """Soft prune: collapse low-opacity Gaussians (static shapes: opacity→-inf
+    rather than removing rows; the reference densify/prune loop resizes,
+    which jit cannot — resizing happens between jit boundaries if desired)."""
+    keep = jax.nn.sigmoid(scene.opacity_logits) >= min_opacity
+    return scene._replace(
+        opacity_logits=jnp.where(keep, scene.opacity_logits, -1e4)
+    )
+
+
+def make_train_step(cam: Camera, lr: float = 1e-2):
+    """Photometric training step: MSE to a target image."""
+    import optax
+
+    tx = optax.adam(lr)
+
+    def init(scene: GaussianScene):
+        return tx.init(scene)
+
+    @jax.jit
+    def step(scene: GaussianScene, opt_state, target: jnp.ndarray):
+        def loss_fn(s):
+            img = render(s, cam)
+            return jnp.mean((img - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(scene)
+        updates, opt_state = tx.update(grads, opt_state)
+        scene = optax.apply_updates(scene, updates)
+        return scene, opt_state, loss
+
+    return init, step
+
+
+def fit_scene(
+    target: jnp.ndarray,
+    cam: Camera,
+    n_gaussians: int = 256,
+    steps: int = 300,
+    lr: float = 2e-2,
+    seed: int = 0,
+    extent: float = 1.0,
+) -> Tuple[GaussianScene, float]:
+    """Fit a scene to one target image; returns (scene, final_loss)."""
+    scene = init_scene(jax.random.PRNGKey(seed), n_gaussians, extent)
+    init, step = make_train_step(cam, lr)
+    opt_state = init(scene)
+    loss = jnp.inf
+    for _ in range(steps):
+        scene, opt_state, loss = step(scene, opt_state, target)
+    return scene, float(loss)
