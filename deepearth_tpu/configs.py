@@ -327,6 +327,8 @@ class OptimizerConfig:
     # >1 → optax.MultiSteps gradient accumulation
     # (reference: hpc/train_distrbuted.py grad-accum(4))
     grad_accum_steps: int = 1
+    # adam moment dtype; bfloat16 halves optimizer memory + HBM traffic
+    moment_dtype: str = "float32"  # 'float32' | 'bfloat16'
     b1: float = 0.9
     b2: float = 0.999
     schedule: str = "cosine"  # 'cosine' | 'onecycle' | 'constant'

@@ -45,10 +45,14 @@ def create_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
         )
     else:
         schedule = cfg.learning_rate
+    import jax.numpy as jnp
+
+    mu_dtype = jnp.bfloat16 if cfg.moment_dtype == "bfloat16" else None
     tx = optax.chain(
         optax.clip_by_global_norm(cfg.grad_clip_norm),
         optax.adamw(
-            schedule, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay
+            schedule, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay,
+            mu_dtype=mu_dtype,
         ),
     )
     if cfg.grad_accum_steps > 1:
