@@ -26,6 +26,13 @@ from .fusion import (
     SpatialTemporalEmbedding,
 )
 from .grid4d import Grid4DEncoder
+from .mla_decode import (
+    MLACache,
+    cache_bytes_per_token,
+    decode_sequence,
+    decode_step,
+    init_cache,
+)
 from .mlp_unet import MLPUNet, MultimodalUNet
 from .shared_space import LatentPool, MultimodalSharedSpace
 from .simulator import (
@@ -43,6 +50,11 @@ from .transformer import (
 )
 
 __all__ = [
+    "MLACache",
+    "cache_bytes_per_token",
+    "decode_sequence",
+    "decode_step",
+    "init_cache",
     "DeepSeekForCausalLM",
     "DeepSeekForSequenceClassification",
     "MLPUNet",
