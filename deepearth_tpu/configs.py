@@ -270,6 +270,11 @@ class ModalityConfig:
     n_tokens: int = 1  # universal tokens generated for this modality
     column_name: Optional[str] = None
     column_names: Optional[List[str]] = None
+    # Decode the full native patch sequence (B, S, input_dim) instead of the
+    # pooled vector — the proper MAE objective for vision
+    # (reference: training/bidirectional_reconstruction.py VisionDecoder
+    # outputs the full 8·24·24·1408 grid)
+    decode_sequence: bool = False
     # Universal-token generation (reference: encoders/modality_infrastructure.py:311)
     use_moe_projection: bool = False
     encoder_layers: int = 2

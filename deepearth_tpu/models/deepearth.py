@@ -221,6 +221,19 @@ class DeepEarthModel(nn.Module):
                     name=f"decoder_{name}",
                 )(fusion_out["modality_tokens"][name])
                 continue
+            if m.decode_sequence and modalities[name].ndim == 3:
+                # full-sequence reconstruction (MAE-proper): position queries
+                # cross-attend into the fused modality tokens and project to
+                # the native feature dim
+                recon[name] = TokenSequenceDecoder(
+                    seq_len=modalities[name].shape[1],
+                    vocab_size=m.input_dim,  # projects to native dim
+                    dim=D,
+                    n_heads=m.encoder_heads,
+                    compute_dtype=cd, param_dtype=pd,
+                    name=f"decoder_{name}",
+                )(fusion_out["modality_tokens"][name])
+                continue
             pooled = fusion_out["modality_tokens"][name].mean(axis=1)
             recon[name] = ModalityDecoder(
                 D, _native_dim(m), dropout=0.0,

@@ -156,6 +156,22 @@ def deepearth_loss(
             )
             acc_row = (jnp.argmax(pred, -1) == target).astype(jnp.float32)
             metrics[f"acc/{name}"] = _masked_row_mean(acc_row, hidden)
+        elif m.decode_sequence and target.ndim == 3:
+            # MAE: per-patch MSE over hidden patches (reference objective:
+            # train_deepearth2.py vision MAE-style MSE)
+            t = target.astype(jnp.float32)
+            per_patch = jnp.mean((pred - t) ** 2, axis=-1)  # (B, S)
+            patch_mask = batch.get("modality_patch_masks", {}).get(name)
+            hidden_patch = (
+                ~patch_mask if patch_mask is not None
+                else jnp.ones_like(per_patch, bool)
+            )
+            hidden_patch = hidden_patch | hidden[:, None]
+            w_p = hidden_patch.astype(jnp.float32)
+            l_m = jnp.sum(per_patch * w_p) / jnp.maximum(jnp.sum(w_p), 1.0)
+            metrics[f"loss/{name}"] = l_m
+            total = total + w.modality * m.loss_weight * l_m
+            continue
         else:
             t = target.astype(jnp.float32)
             if t.ndim == 3:  # (B, S, D) native sequence → pooled target

@@ -514,3 +514,32 @@ class TestPatchMaskWiring:
         # rngs — must be finite and train without error
         state, m = step(state, batch, jax.random.PRNGKey(2))
         assert np.isfinite(float(m["loss/total"]))
+
+
+class TestSequenceDecode:
+    def test_mae_full_sequence_reconstruction(self):
+        from deepearth_tpu.training import LossWeights, deepearth_loss
+        from deepearth_tpu.training.masking import mae_patch_mask
+
+        cfg = tiny_config()
+        cfg.add_modality(
+            ModalityConfig(name="vision", input_dim=8, n_tokens=2,
+                           decode_sequence=True,
+                           encoder_layers=1, encoder_heads=2)
+        )
+        model = DeepEarthModel(cfg)
+        b, s = 4, 6
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        batch["modalities"]["vision"] = jax.random.normal(
+            jax.random.PRNGKey(5), (b, s, 8)
+        )
+        batch["modality_patch_masks"] = {
+            "vision": mae_patch_mask(jax.random.PRNGKey(6), b, s, 0.75)
+        }
+        params = model.init(jax.random.PRNGKey(1), batch)
+        out = model.apply(params, batch)
+        assert out["reconstructions"]["vision"].shape == (b, s, 8)
+        total, metrics = deepearth_loss(
+            out, batch, cfg, LossWeights(contrastive=0.0)
+        )
+        assert np.isfinite(float(total)) and "loss/vision" in metrics
