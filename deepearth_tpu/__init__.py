@@ -25,6 +25,8 @@ from .configs import (  # noqa: F401
     RopeScalingConfig,
     ShardingConfig,
     TransformerConfig,
+    config_from_json,
+    config_to_json,
     integrated_config,
     simulator_config,
     small_config,

@@ -510,3 +510,87 @@ def simulator_config(preset: str = "standard") -> DeepSeekBlockConfig:
             hidden_dim=p["hidden_dim"],
         ),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Serialization: config ↔ JSON (checkpoint reproducibility)
+# --------------------------------------------------------------------------- #
+
+_DTYPE_NAMES = {"bfloat16": jnp.bfloat16, "float32": jnp.float32,
+                "float16": jnp.float16}
+
+
+def _encode(obj):
+    import dataclasses as _dc
+
+    if _dc.is_dataclass(obj) and not isinstance(obj, type):
+        return {
+            "__dataclass__": type(obj).__name__,
+            **{f.name: _encode(getattr(obj, f.name)) for f in _dc.fields(obj)},
+        }
+    if isinstance(obj, dict):
+        return {k: _encode(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_encode(v) for v in obj]
+    if obj in (jnp.bfloat16, jnp.float32, jnp.float16):
+        return {"__dtype__": jnp.dtype(obj).name}
+    return obj
+
+
+_CONFIG_CLASSES = None
+
+
+def _config_classes():
+    global _CONFIG_CLASSES
+    if _CONFIG_CLASSES is None:
+        import dataclasses as _dc
+        import sys
+
+        mod = sys.modules[__name__]
+        _CONFIG_CLASSES = {
+            n: c for n, c in vars(mod).items()
+            if isinstance(c, type) and _dc.is_dataclass(c)
+        }
+    return _CONFIG_CLASSES
+
+
+def _decode(obj):
+    if isinstance(obj, dict):
+        if "__dtype__" in obj:
+            return _DTYPE_NAMES[obj["__dtype__"]]
+        if "__dataclass__" in obj:
+            cls = _config_classes()[obj["__dataclass__"]]
+            kwargs = {
+                k: _decode(v) for k, v in obj.items() if k != "__dataclass__"
+            }
+            # dataclasses with derived fields accept them back as kwargs
+            import dataclasses as _dc
+
+            valid = {f.name for f in _dc.fields(cls) if f.init}
+            return cls(**{k: v for k, v in kwargs.items() if k in valid})
+        return {k: _decode(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_decode(v) for v in obj]
+    return obj
+
+
+def config_to_json(cfg: DeepEarthConfig, path: Optional[str] = None) -> str:
+    """Serialize any config dataclass tree to JSON (optionally to a file)."""
+    import json
+
+    payload = json.dumps(_encode(cfg), indent=2)
+    if path:
+        with open(path, "w") as f:
+            f.write(payload)
+    return payload
+
+
+def config_from_json(source: str) -> DeepEarthConfig:
+    """Inverse of :func:`config_to_json`; accepts a JSON string or a path."""
+    import json
+    import os
+
+    if os.path.exists(source):
+        with open(source) as f:
+            source = f.read()
+    return _decode(json.loads(source))

@@ -543,3 +543,28 @@ class TestSequenceDecode:
             out, batch, cfg, LossWeights(contrastive=0.0)
         )
         assert np.isfinite(float(total)) and "loss/vision" in metrics
+
+
+class TestConfigSerialization:
+    def test_roundtrip_stable(self):
+        from deepearth_tpu.configs import (
+            config_from_json, config_to_json, integrated_config,
+        )
+
+        cfg = integrated_config(use_deepseek_fusion=True)
+        j = config_to_json(cfg)
+        cfg2 = config_from_json(j)
+        assert config_to_json(cfg2) == j
+        # a model built from the round-tripped config has identical structure
+        model = DeepEarthModel(config_from_json(j))
+        assert model.config.fusion.universal_dim == cfg.fusion.universal_dim
+
+    def test_file_roundtrip(self, tmp_path):
+        from deepearth_tpu.configs import config_from_json, config_to_json
+
+        cfg = tiny_config()
+        p = str(tmp_path / "cfg.json")
+        config_to_json(cfg, p)
+        cfg2 = config_from_json(p)
+        assert cfg2.hidden_dim == cfg.hidden_dim
+        assert "species" in cfg2.modalities
