@@ -179,6 +179,15 @@ class Trainer:
                     max_to_keep=3, create=True
                 ),
             )
+            # persist the config next to the checkpoints for reproducibility
+            try:
+                from ..configs import config_to_json
+
+                config_to_json(
+                    config, os.path.join(checkpoint_dir, "config.json")
+                )
+            except Exception as e:
+                logger.warning(f"could not persist config: {e}")
 
     # -- state ----------------------------------------------------------------- #
 
