@@ -108,3 +108,21 @@ class TestDistributedTrainer:
         # …and the caller's config is untouched (re-construction must not
         # compound the scaling)
         assert cfg.optimizer.learning_rate == base_lr
+
+
+class TestShardedPrefetch:
+    def test_device_prefetch_with_sharding(self, devices):
+        import numpy as np
+        from deepearth_tpu.data import SyntheticConfig, SyntheticEarthDataGenerator
+        from deepearth_tpu.data.batches import device_prefetch
+        from deepearth_tpu.parallel import batch_sharding, create_mesh
+
+        mesh = create_mesh(devices)
+        gen = SyntheticEarthDataGenerator(SyntheticConfig())
+        it = gen.batch_iterator(8, modalities=("species",), steps=3)
+        out = list(device_prefetch(it, size=2, sharding=batch_sharding(mesh)))
+        assert len(out) == 3
+        x = out[0]["xyzt"]
+        # sharded over the data axis
+        assert "data" in str(x.sharding.spec)
+        assert np.isfinite(np.asarray(x)).all()
