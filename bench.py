@@ -228,7 +228,23 @@ def bench_reference_cpu() -> float:
     return obs_per_s
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: repeat bench runs skip the multi-minute
+    remote compiles."""
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(__file__), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        log(f"[cache] persistent compile cache unavailable: {e}")
+
+
 def main():
+    _enable_compile_cache()
     baseline_obs_s = bench_reference_cpu()
     ours = bench_ours()
     # the multimodal variant lives in tools/bench_multimodal.py — its compile
