@@ -228,5 +228,19 @@ def deepearth_loss(
             metrics["loss/moe_aux"] = l_aux
             total = total + w.moe_aux * l_aux
 
+    # -- human-unit error metrics (reference: SPECIFICATIONS.MD:1811-1878) --- #
+    if "spatial_span_m" in batch:
+        from .metrics import coordinate_error_meters
+
+        metrics["err/xyz_m"] = coordinate_error_meters(
+            recon["spatial"], xyzt[:, :3], batch["spatial_span_m"]
+        )
+    if "temporal_span_h" in batch:
+        from .metrics import time_error_hours
+
+        metrics["err/t_h"] = time_error_hours(
+            recon["temporal"], xyzt[:, 3:4], batch["temporal_span_h"]
+        )
+
     metrics["loss/total"] = total
     return total, metrics
