@@ -248,6 +248,9 @@ class FusionConfig:
     cross_attention_context: str = "inputs"
     spatial_aware: bool = True
     temporal_aware: bool = True
+    # gradient checkpointing over fusion layers (jax.checkpoint); the
+    # reference exposed the flag but never wired it (train_deepearth.py:46)
+    remat: bool = False
     max_seq_length: int = 8192
     max_spatial_resolution: int = 64
     # When set, fusion layers use MLA + MoE DeepSeek blocks instead of dense

@@ -167,13 +167,45 @@ class DeepEarthModel(nn.Module):
             tokens[name] = tok
 
         # ---- fusion ----------------------------------------------------------- #
+        # Auto-generate token positions (reference: models/deepearth_integrated
+        # .py:266-286 builds vision grid positions): square token counts get a
+        # 2D grid of spatial positions; every modality token inherits the
+        # observation's normalized time. User-provided batch positions win.
+        spatial_positions = dict(batch.get("spatial_positions") or {})
+        temporal_positions = dict(batch.get("temporal_positions") or {})
+        if cfg.fusion.spatial_aware or cfg.fusion.temporal_aware:
+            import math as _math
+
+            for name, tok in tokens.items():
+                n_tok = tok.shape[1]
+                if (
+                    cfg.fusion.spatial_aware
+                    and name not in spatial_positions
+                    and n_tok > 1
+                ):
+                    side = int(_math.isqrt(n_tok))
+                    if side * side == n_tok:
+                        g = (jnp.arange(side) + 0.5) / side
+                        gy, gx = jnp.meshgrid(g, g, indexing="ij")
+                        grid = jnp.stack(
+                            [gx.ravel(), gy.ravel()], axis=-1
+                        )  # (n_tok, 2)
+                        spatial_positions[name] = jnp.broadcast_to(
+                            grid[None], (B, n_tok, 2)
+                        )
+                if cfg.fusion.temporal_aware and name not in temporal_positions:
+                    temporal_positions[name] = jnp.broadcast_to(
+                        xyzt[:, 3:4][:, None, :], (B, n_tok, 1)
+                    )
+
         modality_names = tuple(["spacetime"] + sorted(cfg.modalities))
         fusion_out = CrossModalFusion(
-            cfg.fusion, modality_names, cd, pd, name="fusion"
+            cfg.fusion, modality_names, cd, pd, remat=cfg.fusion.remat,
+            name="fusion",
         )(
             tokens,
-            batch.get("spatial_positions"),
-            batch.get("temporal_positions"),
+            spatial_positions or None,
+            temporal_positions or None,
             deterministic=deterministic,
         )
         h_tokens = fusion_out["all_tokens"]
@@ -181,7 +213,8 @@ class DeepEarthModel(nn.Module):
         # ---- optional inductive simulator ------------------------------------ #
         if cfg.fusion.deepseek_block is not None:
             h_tokens = DeepSeekTransformer(
-                cfg.fusion.deepseek_block, cd, pd, name="simulator"
+                cfg.fusion.deepseek_block, cd, pd, remat=cfg.fusion.remat,
+                name="simulator",
             )(h_tokens, deterministic=deterministic)
             fusion_out = dict(fusion_out)
             fusion_out["all_tokens"] = h_tokens

@@ -568,3 +568,37 @@ class TestConfigSerialization:
         cfg2 = config_from_json(p)
         assert cfg2.hidden_dim == cfg.hidden_dim
         assert "species" in cfg2.modalities
+
+
+class TestAutoPositions:
+    def test_square_token_counts_get_grid_positions(self):
+        cfg = tiny_config()
+        cfg.add_modality(
+            ModalityConfig(name="vision", input_dim=8, n_tokens=4,
+                           encoder_layers=1, encoder_heads=2)
+        )
+        model = DeepEarthModel(cfg)
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        batch["modalities"]["vision"] = jax.random.normal(
+            jax.random.PRNGKey(5), (4, 6, 8)
+        )
+        params = model.init(jax.random.PRNGKey(1), batch)
+        # spatial position tables must exist for fusion's ST embedding
+        st = params["params"]["fusion"]["st_embedding"]
+        assert "spatial_embed_x" in st and "temporal_fc1" in st
+        out = model.apply(params, batch)
+        assert np.isfinite(np.asarray(out["fused_representation"])).all()
+
+    def test_remat_flag(self):
+        cfg = tiny_config()
+        cfg.fusion.remat = True
+        model = DeepEarthModel(cfg)
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        params = model.init(jax.random.PRNGKey(1), batch)
+        g = jax.grad(
+            lambda p: jnp.sum(
+                model.apply(p, batch)["fused_representation"].astype(jnp.float32) ** 2
+            )
+        )(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
