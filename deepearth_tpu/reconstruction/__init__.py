@@ -13,6 +13,12 @@ from .gaussian_splat import (
     render,
 )
 from .geofusion_dataset import CameraIntrinsics, Frame, GeoFusionDataset
+from .visualize import (
+    plot_attention_map,
+    plot_observation_map,
+    plot_point_cloud,
+    save_render,
+)
 from .point_cloud import (
     depth_to_world_cloud,
     load_ply,
@@ -23,6 +29,10 @@ from .point_cloud import (
 )
 
 __all__ = [
+    "plot_attention_map",
+    "plot_observation_map",
+    "plot_point_cloud",
+    "save_render",
     "Camera",
     "GaussianScene",
     "fit_scene",

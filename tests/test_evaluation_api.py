@@ -130,3 +130,31 @@ class TestDeepEarthAPI:
         api.register("x", shape=(2,))
         emb = api.predict((10.0, 20.0), data={"x": [1.0, 2.0]})
         assert emb.shape == (64,)
+
+
+class TestFileLoaders:
+    def test_npy_npz_csv(self, tmp_path):
+        from deepearth_tpu.api import load_file
+
+        a = np.random.default_rng(0).random((4, 3))
+        np.save(tmp_path / "x.npy", a)
+        np.testing.assert_allclose(load_file(str(tmp_path / "x.npy")), a)
+        np.savez(tmp_path / "x.npz", data=a)
+        np.testing.assert_allclose(load_file(str(tmp_path / "x.npz")), a)
+        with open(tmp_path / "x.csv", "w") as f:
+            f.write("a,b\n1.0,2.0\n3.0,4.0\n")
+        np.testing.assert_allclose(
+            load_file(str(tmp_path / "x.csv")), [[1, 2], [3, 4]]
+        )
+
+    def test_gated_formats_raise_importerror(self, tmp_path):
+        from deepearth_tpu.api import load_file
+
+        (tmp_path / "x.tif").write_bytes(b"")
+        with pytest.raises(ImportError):
+            load_file(str(tmp_path / "x.tif"))
+        (tmp_path / "x.nc").write_bytes(b"")
+        with pytest.raises(ImportError):
+            load_file(str(tmp_path / "x.nc"))
+        with pytest.raises(ValueError):
+            load_file(str(tmp_path / "x.xyz"))

@@ -170,3 +170,29 @@ class TestGaussianSplat:
         _, loss = fit_scene(target, cam, n_gaussians=32, steps=120, seed=0,
                             extent=0.5)
         assert loss < loss0 * 0.5, f"{loss0} → {loss}"
+
+
+class TestVisualize:
+    def test_all_plots_write_png(self, tmp_path):
+        from deepearth_tpu.reconstruction import (
+            plot_attention_map,
+            plot_observation_map,
+            plot_point_cloud,
+            save_render,
+        )
+
+        rng = np.random.default_rng(0)
+        p1 = plot_observation_map(
+            28 + rng.random(50), -81 + rng.random(50),
+            color_by=rng.integers(0, 5, 50),
+            path=str(tmp_path / "obs.png"),
+        )
+        p2 = plot_point_cloud(
+            rng.random((100, 3)), path=str(tmp_path / "cloud.png")
+        )
+        p3 = save_render(rng.random((16, 16, 3)), str(tmp_path / "r.png"))
+        p4 = plot_attention_map(rng.random((8, 8)), str(tmp_path / "a.png"))
+        import os
+
+        for p in (p1, p2, p3, p4):
+            assert os.path.getsize(p) > 1000
