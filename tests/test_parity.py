@@ -184,3 +184,62 @@ class TestHashNearestParity:
             feats.append(tab[li][h % cfg.hash_table_size])
         ref = torch.cat(feats, -1).numpy()
         np.testing.assert_array_equal(ours, ref)
+
+
+class TorchRefFusionLayer(torch.nn.Module):
+    """Fusion layer with rotate_half RoPE + gated MLP, reference semantics
+    (models/cross_modal_fusion.py:167-350), weights injected."""
+
+    def __init__(self, p, dim, heads):
+        super().__init__()
+        self.dim, self.heads = dim, heads
+        self.hd = dim // heads
+        a = p["self_attn"]
+        self.wq, self.wk = t(a["q_proj"]["kernel"]), t(a["k_proj"]["kernel"])
+        self.wv, self.wo = t(a["v_proj"]["kernel"]), t(a["out_proj"]["kernel"])
+        self.n1s, self.n1b = t(p["self_attn_norm"]["scale"]), t(p["self_attn_norm"]["bias"])
+        self.n2s, self.n2b = t(p["mlp_norm"]["scale"]), t(p["mlp_norm"]["bias"])
+        m = p["mlp"]
+        self.wg, self.wu = t(m["gate_proj"]["kernel"]), t(m["up_proj"]["kernel"])
+        self.wd = t(m["down_proj"]["kernel"])
+
+    def _ln(self, x, s, b):
+        return torch.nn.functional.layer_norm(x, (self.dim,), s, b, eps=1e-6)
+
+    def _rope(self, x, n):
+        d = self.hd
+        inv = 1.0 / (10000 ** (torch.arange(0, d, 2).float() / d))
+        fr = torch.outer(torch.arange(n).float(), inv)
+        emb = torch.cat((fr, fr), -1)
+        x1, x2 = x[..., : d // 2], x[..., d // 2 :]
+        rot = torch.cat((-x2, x1), -1)
+        return x * emb.cos() + rot * emb.sin()
+
+    def forward(self, x):
+        b, n, _ = x.shape
+        h = self._ln(x, self.n1s, self.n1b)
+        q = (h @ self.wq).view(b, n, self.heads, self.hd).transpose(1, 2)
+        k = (h @ self.wk).view(b, n, self.heads, self.hd).transpose(1, 2)
+        v = (h @ self.wv).view(b, n, self.heads, self.hd).transpose(1, 2)
+        q, k = self._rope(q, n), self._rope(k, n)
+        att = torch.softmax(q @ k.transpose(-2, -1) * self.hd ** -0.5, -1)
+        x = x + (att @ v).transpose(1, 2).reshape(b, n, self.dim) @ self.wo
+        h = self._ln(x, self.n2s, self.n2b)
+        gated = torch.nn.functional.silu(h @ self.wg) * (h @ self.wu)
+        return x + gated @ self.wd
+
+
+class TestFusionLayerParity:
+    def test_fusion_layer_under_1e4(self):
+        from deepearth_tpu.configs import FusionConfig
+        from deepearth_tpu.models import FusionLayer
+
+        cfg = FusionConfig(universal_dim=64, num_fusion_layers=1, num_heads=4,
+                           cross_attention_freq=100)  # layer 1 → no cross-attn
+        mod = FusionLayer(cfg, layer_idx=1)
+        x = np.random.default_rng(3).standard_normal((2, 5, 64)).astype(np.float32)
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))["params"]
+        ours = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+        ref = TorchRefFusionLayer(params, 64, 4)(t(x)).detach().numpy()
+        diff = np.abs(ours - ref).max()
+        assert diff < TOL, f"divergence {diff:.2e}"
