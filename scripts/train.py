@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--eval-every", type=int, default=0)
     p.add_argument("--save-every", type=int, default=500)
     p.add_argument("--metrics-jsonl", type=str, default=None)
+    p.add_argument(
+        "--modalities", type=str, default="species",
+        help="comma list from: species,weather,vision,language",
+    )
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -94,17 +98,35 @@ def main():
     cfg.optimizer.learning_rate = args.learning_rate
     cfg.optimizer.warmup_steps = args.warmup_steps
     cfg.optimizer.total_steps = args.steps
-    cfg.add_modality(
-        ModalityConfig(
+    wanted = tuple(m.strip() for m in args.modalities.split(",") if m.strip())
+    syn_cfg = SyntheticConfig()
+    registry = {
+        "species": ModalityConfig(
             name="species", encoding_type="learned_embedding",
             input_type="categorical", vocab_size=232,
-        )
-    )
+        ),
+        "weather": ModalityConfig(
+            name="weather", input_dim=syn_cfg.weather_dim, n_tokens=1,
+            encoder_layers=1, encoder_heads=4,
+        ),
+        "vision": ModalityConfig(
+            name="vision", input_dim=syn_cfg.vision_dim, n_tokens=4,
+            encoder_layers=1, encoder_heads=4,
+        ),
+        "language": ModalityConfig(
+            name="language", input_dim=syn_cfg.language_dim, n_tokens=2,
+            encoder_layers=1, encoder_heads=4,
+        ),
+    }
+    for m in wanted:
+        if m not in registry:
+            raise SystemExit(f"unknown modality {m!r}; choose from {list(registry)}")
+        cfg.add_modality(registry[m])
     model = DeepEarthModel(cfg)
 
-    gen = SyntheticEarthDataGenerator(SyntheticConfig())
+    gen = SyntheticEarthDataGenerator(syn_cfg)
     batches = device_prefetch(
-        gen.batch_iterator(args.batch_size, modalities=("species",)), size=2
+        gen.batch_iterator(args.batch_size, modalities=wanted), size=2
     )
 
     if args.distributed:
@@ -112,8 +134,7 @@ def main():
 
         trainer = DistributedTrainer(model, cfg, seed=args.seed)
         state = trainer.init_state(
-            next(gen.batch_iterator(args.batch_size, modalities=("species",),
-                                    steps=1))
+            next(gen.batch_iterator(args.batch_size, modalities=wanted, steps=1))
         )
         state, metrics = trainer.fit(
             state, batches, args.steps, log_every=args.log_every
@@ -124,8 +145,7 @@ def main():
             checkpoint_dir=args.checkpoint_dir, seed=args.seed,
         )
         state = trainer.init_state(
-            next(gen.batch_iterator(args.batch_size, modalities=("species",),
-                                    steps=1))
+            next(gen.batch_iterator(args.batch_size, modalities=wanted, steps=1))
         )
         if args.resume and args.checkpoint_dir:
             state = trainer.restore(state)
