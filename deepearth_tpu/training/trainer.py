@@ -133,10 +133,28 @@ def make_eval_step(
     model,
     config: DeepEarthConfig,
     loss_weights: Optional[LossWeights] = None,
+    apply_masking: bool = True,
 ) -> Callable:
+    """Eval step with DETERMINISTIC masking: validation must hide the same
+    entries every pass, or masked-reconstruction val losses are trivially
+    zero on fully-visible batches (reference: SPECIFICATIONS.MD targeted-mask
+    validation)."""
     weights = loss_weights or LossWeights()
+    modality_names = tuple(sorted(config.modalities))
+    modality_probs = {
+        name: m.mask_prob for name, m in config.modalities.items()
+    }
 
     def eval_step(state: TrainState, batch: Dict[str, Any]):
+        if apply_masking and "spatial_mask" not in batch:
+            masks = sample_masks(
+                jax.random.PRNGKey(0),  # fixed → comparable across evals
+                batch["xyzt"].shape[0],
+                modality_names,
+                config.masking,
+                modality_probs,
+            )
+            batch = {**batch, **masks}
         out = model.apply({"params": state.params}, batch, deterministic=True)
         _, metrics = deepearth_loss(out, batch, config, weights)
         return metrics

@@ -166,3 +166,25 @@ class TestSpeciesContrastiveInMainLoss:
         )
         assert "loss/species_contrastive" in m1
         assert np.isfinite(float(total))
+
+
+class TestEvalMasking:
+    def test_eval_step_masks_deterministically(self):
+        from deepearth_tpu.training import make_eval_step
+        from deepearth_tpu.training.trainer import TrainState, create_optimizer
+
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        gen = SyntheticEarthDataGenerator(SyntheticConfig())
+        batch = next(gen.batch_iterator(64, modalities=("species",), steps=1))
+        params = model.init(jax.random.PRNGKey(0), batch)["params"]
+        state = TrainState.create(
+            apply_fn=model.apply, params=params,
+            tx=create_optimizer(cfg.optimizer),
+        )
+        step = make_eval_step(model, cfg)
+        m1 = step(state, batch)
+        m2 = step(state, batch)
+        # masked val loss is nonzero and reproducible
+        assert float(m1["loss/species"]) > 0
+        assert float(m1["loss/total"]) == float(m2["loss/total"])
