@@ -331,3 +331,52 @@ class TestAnalysisRoutes:
             assert all(cl["species_purity"] > 0.5 for cl in eco["clusters"])
         finally:
             srv.stop()
+
+
+class TestFullVisionBidirectional:
+    def test_language_to_full_vision_grid(self):
+        model = BidirectionalReconstructor(
+            vision_dim=8, language_dim=16, hidden_dim=32,
+            vision_grid=(2, 3, 3), full_vision_output=True,
+        )
+        lang = jax.random.normal(jax.random.PRNGKey(0), (2, 16))
+        params = model.init(jax.random.PRNGKey(1), language=lang)["params"]
+        out = model.apply({"params": params}, language=lang)
+        assert out["vision_from_language"].shape == (2, 2, 3, 3, 8)
+
+    def test_bidirectional_step_full_grid_trains(self):
+        model = BidirectionalReconstructor(
+            vision_dim=8, language_dim=16, hidden_dim=32,
+            vision_grid=(2, 2, 2), full_vision_output=True,
+        )
+        rng = jax.random.PRNGKey(0)
+        # vision target as the full grid flattened to (B, S, C): S = 2*2*2
+        batch = {
+            "vision": jax.random.normal(rng, (4, 8, 8)),
+            "language": jax.random.normal(jax.random.PRNGKey(1), (4, 16)),
+        }
+        params = model.init(
+            jax.random.PRNGKey(2), vision=batch["vision"],
+            language=batch["language"],
+        )["params"]
+        out = model.apply(
+            {"params": params}, vision=batch["vision"],
+            language=batch["language"],
+        )
+        # full grid output reshapes to the flat patch sequence
+        full = out["vision_from_language"].reshape(4, 8, 8)
+        loss = jnp.mean((full - batch["vision"]) ** 2)
+        g = jax.grad(
+            lambda p: jnp.mean(
+                (
+                    model.apply(
+                        {"params": p}, vision=batch["vision"],
+                        language=batch["language"],
+                    )["vision_from_language"].reshape(4, 8, 8)
+                    - batch["vision"]
+                ) ** 2
+            )
+        )(params)
+        leaves = jax.tree_util.tree_leaves(g)
+        assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+        assert np.isfinite(float(loss))
