@@ -7,6 +7,7 @@ from .probes import (
     regression_metrics,
 )
 from .ecosystems import EcosystemCluster, analyze_ecosystems
+from .retrieval import cross_modal_retrieval, retrieval_metrics
 from .spatiotemporal import (
     SpatiotemporalMetrics,
     binned_rmse,
@@ -16,6 +17,8 @@ from .spatiotemporal import (
 )
 
 __all__ = [
+    "cross_modal_retrieval",
+    "retrieval_metrics",
     "EcosystemCluster",
     "analyze_ecosystems",
     "DeepEarthEvaluator",

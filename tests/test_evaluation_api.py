@@ -158,3 +158,36 @@ class TestFileLoaders:
             load_file(str(tmp_path / "x.nc"))
         with pytest.raises(ValueError):
             load_file(str(tmp_path / "x.xyz"))
+
+
+class TestRetrieval:
+    def test_paired_retrieval_perfect_alignment(self):
+        from deepearth_tpu.evaluation import cross_modal_retrieval
+
+        rng = np.random.default_rng(0)
+        a = rng.standard_normal((50, 16)).astype(np.float32)
+        b = a + 0.01 * rng.standard_normal((50, 16)).astype(np.float32)
+        out = cross_modal_retrieval(a, b, ks=(1, 5))
+        assert out["a_to_b"]["recall@1"] > 0.95
+        assert out["b_to_a"]["median_rank"] == 1.0
+
+    def test_random_embeddings_near_chance(self):
+        from deepearth_tpu.evaluation import retrieval_metrics
+
+        rng = np.random.default_rng(1)
+        a = rng.standard_normal((200, 16))
+        b = rng.standard_normal((200, 16))
+        m = retrieval_metrics(a, b, ks=(1, 10))
+        assert m["recall@1"] < 0.05
+        assert m["recall@10"] < 0.2
+
+    def test_label_aware_retrieval(self):
+        from deepearth_tpu.evaluation import retrieval_metrics
+
+        rng = np.random.default_rng(2)
+        proto = rng.standard_normal((5, 16))
+        labels = rng.integers(0, 5, 100)
+        a = proto[labels] + 0.05 * rng.standard_normal((100, 16))
+        b = proto[labels] + 0.05 * rng.standard_normal((100, 16))
+        m = retrieval_metrics(a, b, ks=(1,), positive_labels=labels)
+        assert m["recall@1"] > 0.95  # any same-species hit counts
