@@ -113,23 +113,49 @@ class MMapEmbeddingLoader:
         return arr
 
     def get_batch(
-        self, obs_ids: Sequence[int], out_dtype=np.float32
+        self, obs_ids: Sequence[int], out_dtype=np.float32, n_threads: int = 4
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Fetch many embeddings at once.
+        """Fetch many embeddings at once via the native threaded gather
+        (deepearth_tpu/data/csrc/fast_gather.c; numpy fallback if no cc).
 
         Returns (batch (N, *shape), found_mask (N,) bool); missing ids yield
         zeros (the reference falls back to random embeddings on miss —
         training/deepearth_multimodal_training.py:238; zeros are
         deterministic, which tests prefer).
         """
+        from .native import gather_rows
+
+        t0 = time.perf_counter()
         n = len(obs_ids)
-        out = np.zeros((n,) + self.embedding_shape, dtype=out_dtype)
-        found = np.zeros(n, dtype=bool)
-        for i, oid in enumerate(obs_ids):
-            e = self.get(oid, out_dtype)
-            if e is not None:
-                out[i] = e
-                found[i] = True
+        out_dtype = np.dtype(out_dtype)
+        rows = np.asarray(
+            [self._id_to_row.get(int(i), -1) for i in obs_ids], np.int64
+        )
+        found = rows >= 0
+        hit_idx = np.nonzero(found)[0]
+        row_bytes = self._n_elem * self.dtype.itemsize
+
+        if out_dtype == self.dtype and len(hit_idx) == n:
+            # zero-copy fast path: gather straight into the output buffer
+            out = np.empty((n,) + self.embedding_shape, dtype=out_dtype)
+            byte_offsets = self.offsets[rows] * self.dtype.itemsize
+            gather_rows(
+                self._mmap, byte_offsets, row_bytes, n_threads,
+                out=out.reshape(n, -1).view(np.uint8),
+            )
+        else:
+            out = np.zeros((n,) + self.embedding_shape, dtype=out_dtype)
+            if len(hit_idx):
+                byte_offsets = self.offsets[rows[hit_idx]] * self.dtype.itemsize
+                raw = gather_rows(self._mmap, byte_offsets, row_bytes, n_threads)
+                # single-pass convert+place (no extra astype copy)
+                out[hit_idx] = raw.view(self.dtype).reshape(
+                    (len(hit_idx),) + self.embedding_shape
+                )
+        with self._stats_lock:
+            self.stats["loads"] += int(found.sum())
+            self.stats["misses"] += int(n - found.sum())
+            self.stats["total_time_s"] += time.perf_counter() - t0
         return out, found
 
     def mean_load_ms(self) -> float:

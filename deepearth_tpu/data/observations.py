@@ -297,30 +297,20 @@ class UnifiedDataCache:
             "modalities": {"species": species},
         }
         if include_vision and self.vision_loader is not None:
-            # float16 by default: halves host copies and H2D transfer; the
-            # model casts to its compute dtype (bf16) on device anyway.
-            vis_list = []
-            for i in observation_ids:
-                e = self.get_vision_embedding(int(i))
-                vis_list.append(
-                    e if e is not None
-                    else np.zeros(self.vision_loader.embedding_shape, np.float32)
-                )
-            vis = np.stack(vis_list).astype(embedding_dtype, copy=False)
+            # native threaded batch gather (csrc/fast_gather.c); float16 by
+            # default halves host copies and H2D transfer — the model casts
+            # to its compute dtype (bf16) on device anyway.
+            vis, _ = self.vision_loader.get_batch(
+                observation_ids, out_dtype=embedding_dtype
+            )
             if pool_vision and vis.ndim >= 3:
                 vis = vis.reshape(vis.shape[0], -1, vis.shape[-1]).mean(axis=1)
             elif vis.ndim > 3:
                 vis = vis.reshape(vis.shape[0], -1, vis.shape[-1])
             batch["modalities"]["vision"] = vis
         if include_language and self.language_loader is not None:
-            lang_list = []
-            for i in observation_ids:
-                e = self.get_language_embedding(int(i))
-                lang_list.append(
-                    e if e is not None
-                    else np.zeros(self.language_loader.embedding_shape, np.float32)
-                )
-            batch["modalities"]["language"] = np.stack(lang_list).astype(
-                embedding_dtype, copy=False
+            lang, _ = self.language_loader.get_batch(
+                observation_ids, out_dtype=embedding_dtype
             )
+            batch["modalities"]["language"] = lang
         return batch

@@ -172,3 +172,38 @@ class TestSplits:
         loaded = load_split(p)
         np.testing.assert_array_equal(loaded["train_idx"], split["train_idx"])
         assert loaded["config"].holdout_years == (2025,)
+
+
+class TestNativeGather:
+    def test_native_builds_and_matches_numpy(self, tmp_path):
+        from deepearth_tpu.data.native import gather_rows, native_available
+
+        rng = np.random.default_rng(0)
+        blob = rng.standard_normal(4096).astype(np.float16)
+        p = tmp_path / "blob.bin"
+        blob.tofile(p)
+        mm = np.memmap(p, dtype=np.float16, mode="r")
+        row_elems = 64
+        rows = np.asarray([3, 0, 17, 42], np.int64)
+        offsets = rows * row_elems * 2  # bytes
+        out = gather_rows(mm, offsets, row_elems * 2, n_threads=2)
+        got = out.view(np.float16).reshape(4, row_elems)
+        for i, r in enumerate(rows):
+            np.testing.assert_array_equal(
+                got[i], blob[r * row_elems : (r + 1) * row_elems]
+            )
+        # in this image a compiler exists, so the native path must be active
+        assert native_available()
+
+    def test_get_batch_uses_gather_and_counts_misses(self, tmp_path):
+        from deepearth_tpu.data import convert_arrays_to_store
+
+        ids = [10, 20, 30]
+        embs = np.arange(3 * 8, dtype=np.float32).reshape(3, 8)
+        loader = convert_arrays_to_store(str(tmp_path / "g"), ids, embs,
+                                         dtype="float32")
+        batch, found = loader.get_batch([20, 99, 10], n_threads=2)
+        assert found.tolist() == [True, False, True]
+        np.testing.assert_allclose(batch[0], embs[1])
+        np.testing.assert_allclose(batch[2], embs[0])
+        np.testing.assert_allclose(batch[1], 0.0)
