@@ -380,3 +380,33 @@ class TestFullVisionBidirectional:
         leaves = jax.tree_util.tree_leaves(g)
         assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
         assert np.isfinite(float(loss))
+
+
+class TestPredictRoute:
+    def test_predict_over_http(self):
+        from deepearth_tpu.api import DeepEarth
+
+        earth = DeepEarth(hidden_dim=64, n_layers=1)
+        earth.register("temperature", shape=(1,), type="numerical")
+        # pre-warm: first predict compiles (~30s) and would trip HTTP timeouts
+        earth.predict((28.5, -81.4), data={"temperature": [20.0]})
+        service = DataService(predictor=earth)
+        srv = DashboardServer(service, port=0).start()
+        try:
+            c = DashboardClient(f"http://127.0.0.1:{srv.port}", timeout=120)
+            emb = c.predict((28.5, -81.4), "2024-06-15",
+                            {"temperature": [21.0]})
+            assert emb.shape == (64,)
+            assert np.isfinite(emb).all()
+            # no predictor → clean 500 with message
+            srv2 = DashboardServer(DataService(), port=0).start()
+            try:
+                import urllib.error
+
+                c2 = DashboardClient(f"http://127.0.0.1:{srv2.port}")
+                with pytest.raises(urllib.error.HTTPError):
+                    c2.predict((0.0, 0.0))
+            finally:
+                srv2.stop()
+        finally:
+            srv.stop()
