@@ -19,6 +19,11 @@ import numpy as np
 
 sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
+if "--cpu" in sys.argv:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 import jax
 import jax.numpy as jnp
 
@@ -168,6 +173,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--output", default="validation_report.json")
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (fast validation)")
     args = ap.parse_args()
 
     v = DeepEarthValidator(quick=args.quick)
