@@ -98,14 +98,15 @@ def bench_ours() -> dict:
         lambda st, b, k: (st, {"loss/total": b["xyzt"].sum() + k[0]})
     )
 
-    def timed(fn, reps=3):
+    def timed(fn, reps=6):
         _sync(fn(state, batch, jax.random.PRNGKey(0)))  # compile
         times = []
         for i in range(reps):
             t0 = time.perf_counter()
             _sync(fn(state, batch, jax.random.PRNGKey(i)))
             times.append(time.perf_counter() - t0)
-        return min(times)
+        # median of the faster half: robust to tunnel jitter spikes
+        return float(np.median(sorted(times)[: max(reps // 2, 1)]))
 
     t_step = timed(step)
     t_noop = timed(noop)
@@ -122,14 +123,14 @@ def bench_ours() -> dict:
     )
     fwd_noop = jax.jit(lambda p, b: b["xyzt"].sum())
 
-    def timed_f(fn, reps=3):
+    def timed_f(fn, reps=6):
         float(np.asarray(fn(state.params, batch)))
         ts = []
         for _ in range(reps):
             t0 = time.perf_counter()
             float(np.asarray(fn(state.params, batch)))
             ts.append(time.perf_counter() - t0)
-        return min(ts)
+        return float(np.median(sorted(ts)[: max(reps // 2, 1)]))
 
     p50 = max(timed_f(fwd) - timed_f(fwd_noop), 1e-4) * 1000.0
     log(f"[ours] train obs/s: {obs_per_s:.1f}  fwd p50: {p50:.2f} ms/batch")
