@@ -243,3 +243,57 @@ class TestFusionLayerParity:
         ref = TorchRefFusionLayer(params, 64, 4)(t(x)).detach().numpy()
         diff = np.abs(ours - ref).max()
         assert diff < TOL, f"divergence {diff:.2e}"
+
+
+class TestGrid4DParity:
+    def test_grid4d_nearest_under_1e4(self):
+        """Full Grid4D forward (nearest mode) vs torch mirror of
+        models/encoders.py:12-85 with transplanted weights."""
+        import dataclasses
+
+        from deepearth_tpu.configs import Grid4DConfig, HashEncodingConfig
+        from deepearth_tpu.models import Grid4DEncoder
+        from deepearth_tpu.ops import HASH_PRIMES
+
+        cfg = Grid4DConfig(
+            n_spatial_levels=4, n_temporal_levels=2, n_features_per_level=2,
+            hash_table_size=2 ** 10,
+        )
+        cfg.spatial = dataclasses.replace(cfg.spatial, interpolation="nearest")
+        cfg.temporal = dataclasses.replace(cfg.temporal, interpolation="nearest")
+        mod = Grid4DEncoder(cfg, hidden_dim=32)
+        xyzt = np.random.default_rng(0).random((8, 4)).astype(np.float32)
+        params = mod.init(jax.random.PRNGKey(0), jnp.asarray(xyzt))["params"]
+        ours = np.asarray(mod.apply({"params": params}, jnp.asarray(xyzt)))
+
+        def torch_hash_feats(tables, coords, resolutions, table_size):
+            feats = []
+            tab = torch.tensor(np.asarray(tables))
+            c = torch.tensor(coords)
+            for li, res in enumerate(resolutions):
+                grid = torch.floor(c * res).long()
+                h = torch.zeros(len(coords), dtype=torch.long)
+                for d in range(c.shape[1]):
+                    h ^= grid[:, d] * HASH_PRIMES[d]
+                feats.append(tab[li][h % table_size])
+            return torch.cat(feats, -1)
+
+        sp = torch_hash_feats(
+            params["spatial"]["tables"], xyzt[:, :3],
+            cfg.spatial.resolutions, cfg.spatial.hash_table_size,
+        )
+        tm = torch_hash_feats(
+            params["temporal"]["tables"], xyzt[:, 3:4],
+            cfg.temporal.resolutions, cfg.temporal.hash_table_size,
+        )
+        combined = torch.cat([sp, tm], -1)
+        # projection: Dense → LayerNorm → GELU → Dense (models/encoders.py:47-52)
+        h = combined @ t(params["proj_in"]["kernel"]) + t(params["proj_in"]["bias"])
+        h = torch.nn.functional.layer_norm(
+            h, (32,), t(params["proj_norm"]["scale"]),
+            t(params["proj_norm"]["bias"]), eps=1e-6,
+        )
+        h = torch.nn.functional.gelu(h)
+        ref = (h @ t(params["proj_out"]["kernel"]) + t(params["proj_out"]["bias"]))
+        diff = np.abs(ours - ref.numpy()).max()
+        assert diff < TOL, f"divergence {diff:.2e}"
