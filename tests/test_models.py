@@ -602,3 +602,20 @@ class TestAutoPositions:
         )(params)
         leaves = jax.tree_util.tree_leaves(g)
         assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
+
+
+class TestHierarchicalPositions:
+    def test_hierarchical_with_positions_downsampling(self):
+        cfg = FusionConfig(
+            universal_dim=32, num_fusion_layers=1, num_heads=4,
+            cross_attention_freq=2, max_spatial_resolution=8,
+        )
+        mod = HierarchicalFusion(cfg, ("vision",), num_levels=2)
+        tokens = {"vision": jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32))}
+        sp = {"vision": jax.random.uniform(jax.random.PRNGKey(1), (2, 8, 2))}
+        tp = {"vision": jax.random.uniform(jax.random.PRNGKey(2), (2, 8, 1))}
+        params = mod.init(jax.random.PRNGKey(3), tokens, sp, tp)
+        out = mod.apply(params, tokens, sp, tp)
+        assert out["fused_representation"].shape == (2, 32)
+        assert out["multi_scale_representation"].shape == (2, 64)
+        assert np.isfinite(np.asarray(out["fused_representation"])).all()
