@@ -82,6 +82,18 @@ class Grid4DConfig:
     n_features_per_level: int = 2
     hash_table_size: int = 2 ** 19
 
+    # 'hash' — multi-resolution hash grids (A/spec stacks); 'sincos' — the
+    # periodic-time + multi-scale-space MLP variant
+    # (reference: training/vjepa2_integration.py:32-80).
+    encoding_mode: str = "hash"
+    # sincos mode: physical span of the normalized [0,1] coordinates, used to
+    # recover seconds/meters for the periodic/scaled features.
+    time_span_seconds: float = 86400.0 * 365.25 * 15  # dataset: 2010-2025
+    spatial_span_meters: float = 100_000.0
+    spatial_scales_m: Tuple[float, ...] = (10.0, 100.0, 1000.0)
+    sincos_feat_dim: int = 128
+    sincos_mlp_dim: int = 512
+
     def __post_init__(self):
         if self.spatial is None:
             self.spatial = HashEncodingConfig(

@@ -45,6 +45,8 @@ class Grid4DEncoder(nn.Module):
             (B, hidden_dim)
         """
         cfg = self.cfg
+        if cfg.encoding_mode == "sincos":
+            return self._sincos(xyzt, spatial_mask, temporal_mask)
         xyz = xyzt[:, :3]
         t = xyzt[:, 3:4]
 
@@ -93,5 +95,60 @@ class Grid4DEncoder(nn.Module):
         h = nn.Dense(
             self.hidden_dim, dtype=self.compute_dtype, param_dtype=self.param_dtype,
             name="proj_out",
+        )(h)
+        return h
+
+    def _sincos(self, xyzt, spatial_mask, temporal_mask):
+        """Periodic-time + multi-scale-space variant
+        (reference: training/vjepa2_integration.py:32-80): hour/day/year
+        sin-cos features and xyz at 10/100/1000 m scales, each through a
+        linear layer, concatenated into a fusion MLP. Table-free — every op
+        is a dense matmul, the most MXU-friendly Grid4D option."""
+        cfg = self.cfg
+        cd, pd = self.compute_dtype, self.param_dtype
+        two_pi = 2.0 * jnp.pi
+
+        seconds = xyzt[:, 3] * cfg.time_span_seconds
+        hours = (seconds / 3600.0) % 24.0
+        days = (seconds / 86400.0) % 365.0
+        years = seconds / (86400.0 * 365.0)
+        periodic = {
+            "hourly": jnp.stack(
+                [jnp.sin(two_pi * hours / 24.0), jnp.cos(two_pi * hours / 24.0)], -1
+            ),
+            "daily": jnp.stack(
+                [jnp.sin(two_pi * days / 365.0), jnp.cos(two_pi * days / 365.0)], -1
+            ),
+            "yearly": jnp.stack(
+                [jnp.sin(two_pi * years), jnp.cos(two_pi * years)], -1
+            ),
+        }
+        feats = []
+        for name, v in periodic.items():
+            f = nn.Dense(
+                cfg.sincos_feat_dim, dtype=cd, param_dtype=pd,
+                name=f"temporal_{name}",
+            )(v.astype(cd))
+            if temporal_mask is not None:
+                f = f * temporal_mask[:, None].astype(f.dtype)
+            feats.append(f)
+
+        xyz_m = xyzt[:, :3] * cfg.spatial_span_meters
+        for i, scale in enumerate(cfg.spatial_scales_m):
+            f = nn.Dense(
+                cfg.sincos_feat_dim, dtype=cd, param_dtype=pd,
+                name=f"spatial_scale{i}",
+            )((xyz_m / scale).astype(cd))
+            if spatial_mask is not None:
+                f = f * spatial_mask[:, None].astype(f.dtype)
+            feats.append(f)
+
+        h = jnp.concatenate(feats, axis=-1)
+        h = nn.Dense(
+            cfg.sincos_mlp_dim, dtype=cd, param_dtype=pd, name="fusion_in"
+        )(h)
+        h = nn.relu(h)
+        h = nn.Dense(
+            self.hidden_dim, dtype=cd, param_dtype=pd, name="fusion_out"
         )(h)
         return h

