@@ -203,7 +203,9 @@ class MoEConfig:
     moe_intermediate_size: int = 512
     hidden_dim: int = 512
     # TPU-native dense dispatch: fraction of S*topk/E slots per expert.
-    capacity_factor: float = 2.0
+    # None → drop-free (capacity = S*topk: exact reference semantics, used
+    # for checkpoint-parity inference; memory O(S²·topk) in dispatch).
+    capacity_factor: Optional[float] = 2.0
     # 'dense' — capacity-factor einsum dispatch (shardable over the expert
     # mesh axis); 'ragged' — drop-free sort + megablox grouped-matmul Pallas
     # kernel (single-chip fast path; TPU only).

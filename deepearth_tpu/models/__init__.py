@@ -25,7 +25,13 @@ from .fusion import (
     HierarchicalFusion,
     SpatialTemporalEmbedding,
 )
+from .generation import causal_lm_decode_step, generate
 from .grid4d import Grid4DEncoder
+from .hf_convert import (
+    config_from_hf,
+    convert_hf_state_dict,
+    load_hf_checkpoint,
+)
 from .mla_decode import (
     MLACache,
     cache_bytes_per_token,
@@ -50,6 +56,11 @@ from .transformer import (
 )
 
 __all__ = [
+    "causal_lm_decode_step",
+    "generate",
+    "config_from_hf",
+    "convert_hf_state_dict",
+    "load_hf_checkpoint",
     "MLACache",
     "cache_bytes_per_token",
     "decode_sequence",

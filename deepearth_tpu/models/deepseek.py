@@ -228,7 +228,10 @@ class MoELayer(nn.Module):
                 jnp.float32
             )
         else:
-            capacity = max(K, int(math.ceil(S * K / E * cfg.capacity_factor)))
+            if cfg.capacity_factor is None:  # drop-free: exact ref semantics
+                capacity = S * K
+            else:
+                capacity = max(K, int(math.ceil(S * K / E * cfg.capacity_factor)))
             dispatch, combine, load = make_dispatch_combine(
                 gate.topk_idx, gate.topk_weight, n_experts=E, capacity=capacity
             )
@@ -284,7 +287,7 @@ class DeepSeekBlock(nn.Module):
         use_moe = (
             cfg.moe is not None
             and self.layer_idx >= cfg.first_k_dense_replace
-            and (self.layer_idx - cfg.first_k_dense_replace) % cfg.moe_layer_freq == 0
+            and self.layer_idx % cfg.moe_layer_freq == 0
         )
         h = RMSNorm(eps=cfg.rms_norm_eps, name="post_attention_layernorm")(x)
         if use_moe:

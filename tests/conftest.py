@@ -22,6 +22,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache for test runs: CPU AOT artifacts embed host
+# features, but test runs always execute on this same host, so reusing them
+# is safe and cuts repeat-suite wall time substantially. (The TPU bench path
+# uses its own cache dir — see bench.py.)
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
