@@ -206,10 +206,13 @@ class MoEConfig:
     # None → drop-free (capacity = S*topk: exact reference semantics, used
     # for checkpoint-parity inference; memory O(S²·topk) in dispatch).
     capacity_factor: Optional[float] = 2.0
-    # 'dense' — capacity-factor einsum dispatch (shardable over the expert
-    # mesh axis); 'ragged' — drop-free sort + megablox grouped-matmul Pallas
-    # kernel (single-chip fast path; TPU only).
-    dispatch_mode: str = "dense"
+    # 'auto' — dense einsum below a size budget, scatter above (see
+    # models/deepseek.py); 'dense' — capacity-factor one-hot einsum dispatch
+    # (MXU-friendly, O(S·E·C·D)); 'scatter' — argsort+scatter dispatch with
+    # identical capacity semantics, O(S·K·D) (the 64-128-expert path);
+    # 'ragged' — drop-free sort + megablox grouped-matmul Pallas kernel
+    # (single-chip fast path; TPU only).
+    dispatch_mode: str = "auto"
     # Auxiliary load-balance loss weight (reference trains without aux via
     # bias correction; we expose both).
     aux_loss_weight: float = 0.0

@@ -212,7 +212,19 @@ class MoELayer(nn.Module):
             "w_down", nn.initializers.normal(0.02), (E, F, D), self.param_dtype
         )
 
-        if cfg.dispatch_mode == "ragged":
+        mode = cfg.dispatch_mode
+        if mode == "auto":
+            # One-hot einsum dispatch costs O(S·E·C·D) — quadratic in tokens
+            # at fixed capacity factor. Past a modest budget the linear
+            # scatter formulation wins; it is also the only viable path for
+            # the 64-128-expert 'ultra' preset.
+            capacity_est = (
+                S * K if cfg.capacity_factor is None
+                else max(K, int(math.ceil(S * K / E * cfg.capacity_factor)))
+            )
+            mode = "dense" if S * E * capacity_est <= 2 ** 22 else "scatter"
+
+        if mode == "ragged":
             # drop-free sort + megablox grouped-matmul Pallas kernel
             from ..ops.moe import ragged_expert_ffn
 
@@ -232,22 +244,37 @@ class MoELayer(nn.Module):
                 capacity = S * K
             else:
                 capacity = max(K, int(math.ceil(S * K / E * cfg.capacity_factor)))
-            dispatch, combine, load = make_dispatch_combine(
-                gate.topk_idx, gate.topk_weight, n_experts=E, capacity=capacity
-            )
-            expert_in = jnp.einsum(
-                "sec,sd->ecd", dispatch.astype(self.compute_dtype),
-                xf.astype(self.compute_dtype),
-            )
-            expert_out = expert_ffn(
-                expert_in,
-                w_gate.astype(self.compute_dtype),
-                w_up.astype(self.compute_dtype),
-                w_down.astype(self.compute_dtype),
-            )
-            y = jnp.einsum(
-                "sec,ecd->sd", combine.astype(self.compute_dtype), expert_out
-            )
+            if mode == "scatter":
+                from ..ops.moe import scatter_dispatch_ffn
+
+                y, load = scatter_dispatch_ffn(
+                    xf.astype(self.compute_dtype),
+                    gate.topk_idx,
+                    gate.topk_weight,
+                    w_gate.astype(self.compute_dtype),
+                    w_up.astype(self.compute_dtype),
+                    w_down.astype(self.compute_dtype),
+                    capacity,
+                )
+            else:
+                dispatch, combine, load = make_dispatch_combine(
+                    gate.topk_idx, gate.topk_weight, n_experts=E,
+                    capacity=capacity,
+                )
+                expert_in = jnp.einsum(
+                    "sec,sd->ecd", dispatch.astype(self.compute_dtype),
+                    xf.astype(self.compute_dtype),
+                )
+                expert_out = expert_ffn(
+                    expert_in,
+                    w_gate.astype(self.compute_dtype),
+                    w_up.astype(self.compute_dtype),
+                    w_down.astype(self.compute_dtype),
+                )
+                y = jnp.einsum(
+                    "sec,ecd->sd", combine.astype(self.compute_dtype),
+                    expert_out,
+                )
 
         if cfg.n_shared_experts:
             y = y + SwiGLUMLP(

@@ -117,6 +117,75 @@ def make_dispatch_combine(
     return dispatch, combine, load
 
 
+def position_in_expert(
+    topk_idx: jnp.ndarray, n_experts: int
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Queue position of every (token, k) assignment within its expert.
+
+    k-major priority (all rank-0 choices beat rank-1 choices), identical to
+    :func:`make_dispatch_combine`'s cumsum ordering, but computed via a
+    single stable argsort — O(N·K log) instead of the O(N·K·E) one-hot
+    cumsum, which is what makes 64-128-expert configs viable.
+
+    Returns:
+        flat_e: (K*N,) expert id per assignment (k-major layout)
+        pos:    (K*N,) slot index within the expert's queue
+        load:   (E,) assignments per expert (pre-capacity)
+    """
+    n, k = topk_idx.shape
+    flat_e = topk_idx.T.reshape(-1).astype(jnp.int32)  # k-major: i = k*N + n
+    order = jnp.argsort(flat_e, stable=True)
+    inv = jnp.argsort(order)  # rank of assignment i in expert-sorted order
+    counts = jnp.bincount(flat_e, length=n_experts)
+    starts = jnp.cumsum(counts) - counts
+    pos = inv - starts[flat_e]
+    return flat_e, pos.astype(jnp.int32), counts.astype(jnp.float32)
+
+
+def scatter_dispatch_ffn(
+    xf: jnp.ndarray,
+    topk_idx: jnp.ndarray,
+    topk_weight: jnp.ndarray,
+    w_gate: jnp.ndarray,
+    w_up: jnp.ndarray,
+    w_down: jnp.ndarray,
+    capacity: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Capacity-bounded MoE via scatter/gather instead of one-hot einsums.
+
+    Semantically identical to the dense dispatch path (same k-major
+    capacity priority, same dropped-token behaviour) but memory/FLOPs are
+    O(N·K·D) + O(E·C·D) rather than O(N·E·C·D): the einsum dispatch is
+    quadratic in tokens at fixed capacity factor, this is linear — required
+    for the 64-128-expert 'ultra' simulator preset
+    (reference: core/inductive_simulator.py:126-154,
+    encoders/modeling_deepseek.py:475-608). Differentiable end-to-end
+    (scatter-add ↔ gather transposes).
+
+    Returns:
+        (N, D) combined output, (E,) pre-capacity load.
+    """
+    n, d = xf.shape
+    k = topk_idx.shape[1]
+    e = w_gate.shape[0]
+    flat_e, pos, load = position_in_expert(topk_idx, e)
+    within = pos < capacity
+    pos_c = jnp.where(within, pos, 0)
+    token_of = jnp.tile(jnp.arange(n, dtype=jnp.int32), k)  # k-major rows
+
+    rows = xf[token_of] * within[:, None].astype(xf.dtype)  # (K*N, D)
+    expert_in = jnp.zeros((e, capacity, d), xf.dtype).at[flat_e, pos_c].add(
+        rows, mode="drop"
+    )
+    expert_out = expert_ffn(expert_in, w_gate, w_up, w_down)  # (E, C, D)
+
+    gathered = expert_out[flat_e, pos_c]  # (K*N, D)
+    gathered = gathered * within[:, None].astype(gathered.dtype)
+    w = topk_weight.T.reshape(-1)[:, None].astype(gathered.dtype)  # k-major
+    y = jnp.zeros((n, d), xf.dtype).at[token_of].add(gathered * w, mode="drop")
+    return y, load
+
+
 def expert_ffn(
     expert_in: jnp.ndarray,
     w_gate: jnp.ndarray,

@@ -73,8 +73,14 @@ def param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     Rules:
     * stacked MoE expert weights ``(E, D, F)`` → P('expert', None, 'model')
       when divisible — expert parallelism + tensor parallelism.
-    * hash tables ``(L, T, F)`` → shard the table dim over 'model'
-      (each is MBs; gathers stay local to the shard owner under SPMD).
+    * hash tables ``(L, T, F)`` → REPLICATED. Measured decision (round 2):
+      sharding the table dim over 'model' makes XLA all-gather the FULL
+      table every step before the random gather (compiled HLO shows
+      ``all-gather f32[L,T,F]``; 10 all-gathers per grad step on the probe),
+      so the shard buys zero memory at peak and costs a per-step collective.
+      Replication keeps gathers local and turns table grads into the same
+      psum the data axis needs anyway. Tables are ≤64 MB at the 2^19
+      flagship — comfortably replicable on a 16 GB v5e.
     * large 2-D kernels → shard the bigger dim over 'model'.
     * everything else replicated.
     """
@@ -89,8 +95,6 @@ def param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
             spec[f_axis] = "model"
         return P(*spec)
     if leaf == "tables" and len(shape) == 3:
-        if _divisible(shape[1], mesh, "model"):
-            return P(None, "model", None)
         return P()
     if leaf == "kernel" and len(shape) == 2 and min(shape) >= 128:
         if shape[1] >= shape[0] and _divisible(shape[1], mesh, "model"):

@@ -78,6 +78,39 @@ def initialize_distributed(
     )
 
 
+def _demote_ragged_dispatch(cfg):
+    """The megablox ragged-gmm path is per-shard (argsort/bincount see local
+    tokens only) and has no expert-parallel story; under a mesh with an
+    expert axis it silently mis-shards. Demote any MoE config using it to
+    'auto' (dense/scatter dispatch, which SPMD shards correctly) and warn."""
+    import dataclasses
+
+    def fix(node):
+        if dataclasses.is_dataclass(node) and not isinstance(node, type):
+            changes = {}
+            for f in dataclasses.fields(node):
+                v = getattr(node, f.name)
+                nv = fix(v)
+                if nv is not v:
+                    changes[f.name] = nv
+            if (
+                getattr(node, "dispatch_mode", None) == "ragged"
+                and hasattr(node, "n_routed_experts")
+            ):
+                changes["dispatch_mode"] = "auto"
+                logger.warning(
+                    "ragged MoE dispatch demoted to 'auto' under an expert-"
+                    "parallel mesh (no multi-chip story for megablox gmm)"
+                )
+            return dataclasses.replace(node, **changes) if changes else node
+        if isinstance(node, dict):
+            out = {k: fix(v) for k, v in node.items()}
+            return out if any(out[k] is not node[k] for k in node) else node
+        return node
+
+    return fix(cfg)
+
+
 class DistributedTrainer:
     """Mesh-sharded training: dp × ep × tp via pjit sharding annotations."""
 
@@ -89,10 +122,19 @@ class DistributedTrainer:
         mesh=None,
         lr_scale_by_data_parallel: bool = True,
         seed: int = 0,
+        checkpoint_dir: Optional[str] = None,
     ):
         self.model = model
         self.config = config
         self.mesh = mesh or create_mesh()
+        self._ckpt_mgr = None
+        if checkpoint_dir:
+            import orbax.checkpoint as ocp
+
+            self._ckpt_mgr = ocp.CheckpointManager(
+                os.path.abspath(checkpoint_dir),
+                options=ocp.CheckpointManagerOptions(max_to_keep=3, create=True),
+            )
         self.rng = jax.random.PRNGKey(seed)
         if lr_scale_by_data_parallel:
             # LR × data-parallel width (reference: hpc/train_distrbuted.py:517);
@@ -111,6 +153,8 @@ class DistributedTrainer:
         self._loss_weights = loss_weights or LossWeights()
         self._step_fn = None
         self._state_shardings = None
+        if int(self.mesh.shape.get("expert", 1)) > 1:
+            self.config = _demote_ragged_dispatch(self.config)
 
     def init_state(self, sample_batch: Dict[str, Any]) -> TrainState:
         self.rng, k = jax.random.split(self.rng)
@@ -148,6 +192,47 @@ class DistributedTrainer:
     def step(self, state: TrainState, batch: Dict[str, Any]):
         self.rng, k = jax.random.split(self.rng)
         return self._step_fn(state, self.shard_batch(batch), k)
+
+    def save(self, state: TrainState, step: int) -> None:
+        """Sharded orbax save: arrays keep their mesh shardings on disk
+        (reference rank-0 checkpointing: hpc/train_distrbuted.py:613-641 —
+        here every process participates, orbax coordinates)."""
+        if self._ckpt_mgr is None:
+            raise ValueError("no checkpoint_dir configured")
+        import orbax.checkpoint as ocp
+
+        if self._ckpt_mgr.latest_step() == step:
+            return
+        self._ckpt_mgr.save(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardSave(
+                    {"params": state.params, "opt_state": state.opt_state,
+                     "step": state.step}
+                )
+            ),
+        )
+        self._ckpt_mgr.wait_until_finished()
+
+    def restore(self, state: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore INTO the sharded state: orbax places each array shard
+        directly on its mesh devices (resume semantics:
+        hpc/train_distrbuted.py:556-571)."""
+        if self._ckpt_mgr is None:
+            raise ValueError("no checkpoint_dir configured")
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self._ckpt_mgr.latest_step()
+        target = {"params": state.params, "opt_state": state.opt_state,
+                  "step": state.step}
+        restored = self._ckpt_mgr.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore(target))
+        )["state"]
+        return state.replace(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=restored["step"],
+        )
 
     def fit(
         self,

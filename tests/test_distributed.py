@@ -58,10 +58,9 @@ class TestShardingRules:
         assert param_spec("moe/w_down", (4, 128, 64), mesh) == P(
             "expert", "model", None
         )
-        # hash tables shard T over model
-        assert param_spec("spatial/tables", (8, 1024, 2), mesh) == P(
-            None, "model", None
-        )
+        # hash tables replicate: sharding the gathered dim makes XLA
+        # all-gather the full table every step (measured, see param_spec doc)
+        assert param_spec("spatial/tables", (8, 1024, 2), mesh) == P()
         # large kernels shard over model; small ones replicate
         assert param_spec("mlp/kernel", (512, 2048), mesh) == P(None, "model")
         assert param_spec("mlp/kernel", (16, 32), mesh) == P()
@@ -94,6 +93,117 @@ class TestDistributedTrainer:
         state, m1 = trainer.step(state, batch)
         state, m2 = trainer.step(state, batch)
         assert np.isfinite(float(np.asarray(m2["loss/total"])))
+
+    def test_1dev_vs_8dev_equivalence(self, devices):
+        """Same batch + same seed: single-device and 8-device (dp×ep×tp)
+        training produce the same loss, both before and after one update
+        (VERDICT round-1 item 4a — the bar is equivalence, not finiteness)."""
+        cfg = dp_ep_tp_config()
+        cfg.compute_dtype = jnp.float32  # isolate sharding effects from bf16
+        batch = make_batch(8)
+
+        results = []
+        for mesh in (
+            create_mesh(devices[:1], mesh_shape=(1, 1, 1)),
+            create_mesh(devices),  # (2, 2, 2)
+        ):
+            trainer = DistributedTrainer(
+                DeepEarthModel(cfg), cfg, LossWeights(contrastive=0.01),
+                mesh=mesh, lr_scale_by_data_parallel=False, seed=0,
+            )
+            state = trainer.init_state(batch)
+            state, m1 = trainer.step(state, batch)
+            state, m2 = trainer.step(state, batch)
+            results.append(
+                (float(np.asarray(m1["loss/total"])),
+                 float(np.asarray(m2["loss/total"])))
+            )
+        (l1_a, l2_a), (l1_b, l2_b) = results
+        # step-1 loss: identical forward math, only reduction order differs
+        np.testing.assert_allclose(l1_a, l1_b, rtol=1e-5)
+        # step-2 loss: includes one full psum'd gradient update
+        np.testing.assert_allclose(l2_a, l2_b, rtol=1e-4)
+
+    def test_sharded_checkpoint_resume(self, devices, tmp_path):
+        """Sharded orbax save → restore into mesh shardings → resume
+        training (VERDICT round-1 item 4b; reference resume semantics
+        hpc/train_distrbuted.py:556-571)."""
+        cfg = dp_ep_tp_config()
+        mesh = create_mesh(devices)
+        batch = make_batch(8)
+        trainer = DistributedTrainer(
+            DeepEarthModel(cfg), cfg, mesh=mesh,
+            checkpoint_dir=str(tmp_path / "dist_ckpt"), seed=0,
+        )
+        state = trainer.init_state(batch)
+        state, _ = trainer.step(state, batch)
+        trainer.save(state, 1)
+
+        # fresh trainer + state (different seed → different params)
+        trainer2 = DistributedTrainer(
+            DeepEarthModel(cfg), cfg, mesh=mesh,
+            checkpoint_dir=str(tmp_path / "dist_ckpt"), seed=123,
+        )
+        fresh = trainer2.init_state(batch)
+        restored = trainer2.restore(fresh)
+        # restored arrays keep their mesh shardings
+        w = restored.params["simulator"]["layer_1"]["moe"]["w_gate"]
+        assert "expert" in str(w.sharding.spec)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(state.params),
+            jax.tree_util.tree_leaves(restored.params),
+        ):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+        # resume: one more step runs under the mesh
+        restored, m = trainer2.step(restored, batch)
+        assert np.isfinite(float(np.asarray(m["loss/total"])))
+
+    def test_ultra_expert_count_ep(self, devices):
+        """128 routed experts (the 'ultra' preset count,
+        reference: core/inductive_simulator.py:126-154) train a step over an
+        8-wide expert axis with the scatter dispatch — no O(N·E·C) blowup,
+        weights genuinely sharded (VERDICT round-1 item 5)."""
+        cfg = tiny_config()
+        cfg.hidden_dim = 64
+        cfg.n_heads = 4
+        cfg.fusion.universal_dim = 64
+        cfg.fusion.num_fusion_layers = 2
+        cfg.fusion.num_heads = 4
+        cfg.fusion.deepseek_block = DeepSeekBlockConfig(
+            hidden_dim=64, n_layers=2, intermediate_size=128,
+            mla=MLAConfig(hidden_dim=64, n_heads=4, kv_lora_rank=16,
+                          qk_rope_head_dim=8, qk_nope_head_dim=16,
+                          v_head_dim=16),
+            moe=MoEConfig(n_routed_experts=128, num_experts_per_tok=8,
+                          n_group=8, topk_group=2,
+                          moe_intermediate_size=32, hidden_dim=64,
+                          n_shared_experts=1, dispatch_mode="scatter"),
+            first_k_dense_replace=1,
+        )
+        mesh = create_mesh(devices, mesh_shape=(1, 8, 1))
+        trainer = DistributedTrainer(
+            DeepEarthModel(cfg), cfg, mesh=mesh,
+            lr_scale_by_data_parallel=False,
+        )
+        batch = make_batch(16)
+        state = trainer.init_state(batch)
+        w = state.params["simulator"]["layer_1"]["moe"]["w_gate"]
+        assert w.shape[0] == 128 and "expert" in str(w.sharding.spec)
+        state, m = trainer.step(state, batch)
+        assert np.isfinite(float(np.asarray(m["loss/total"])))
+
+    def test_ragged_demoted_under_expert_mesh(self, devices):
+        cfg = dp_ep_tp_config()
+        cfg.fusion.deepseek_block.moe = dataclasses.replace(
+            cfg.fusion.deepseek_block.moe, dispatch_mode="ragged"
+        )
+        mesh = create_mesh(devices)  # expert axis = 2
+        trainer = DistributedTrainer(DeepEarthModel(cfg), cfg, mesh=mesh)
+        assert (
+            trainer.config.fusion.deepseek_block.moe.dispatch_mode == "auto"
+        )
+        # caller's config untouched
+        assert cfg.fusion.deepseek_block.moe.dispatch_mode == "ragged"
 
     def test_lr_scaling(self, devices):
         cfg = dp_ep_tp_config()

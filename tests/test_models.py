@@ -536,7 +536,7 @@ class TestPatchMaskWiring:
             apply_fn=model.apply, params=params,
             tx=create_optimizer(cfg.optimizer),
         )
-        step = make_train_step(model, cfg)
+        step = jax.jit(make_train_step(model, cfg))
         # with prob=1.0 every patch is hidden; run two steps with different
         # rngs — must be finite and train without error
         state, m = step(state, batch, jax.random.PRNGKey(2))

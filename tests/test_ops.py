@@ -266,6 +266,70 @@ class TestDispatch:
         out = expert_ffn(ein, wg, wu, wd)
         assert out.shape == (e, c, d)
 
+    def test_scatter_matches_dense_dispatch(self):
+        """Scatter dispatch reproduces the one-hot einsum path exactly —
+        same k-major capacity priority, same drops — across ample and tight
+        capacities and at 64 experts (the 'ultra'-scale path)."""
+        from deepearth_tpu.ops.moe import scatter_dispatch_ffn
+
+        rng = np.random.default_rng(3)
+        for (n, d, e, k, f), cap in [
+            ((32, 16, 8, 2, 32), 16),   # ample
+            ((32, 16, 8, 2, 32), 2),    # tight → drops
+            ((128, 16, 64, 4, 8), 3),   # many experts
+        ]:
+            x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+            logits = jnp.asarray(rng.standard_normal((n, e)), jnp.float32)
+            wg = jnp.asarray(rng.standard_normal((e, d, f)) * 0.1, jnp.float32)
+            wu = jnp.asarray(rng.standard_normal((e, d, f)) * 0.1, jnp.float32)
+            wd = jnp.asarray(rng.standard_normal((e, f, d)) * 0.1, jnp.float32)
+            res = moe_gate(
+                logits, jnp.zeros(e), top_k=k, n_group=1, topk_group=1,
+                norm_topk_prob=True, routed_scaling_factor=1.0,
+            )
+            dispatch, combine, load_d = make_dispatch_combine(
+                res.topk_idx, res.topk_weight, n_experts=e, capacity=cap
+            )
+            expert_in = jnp.einsum("nec,nd->ecd", dispatch, x)
+            eo = expert_ffn(expert_in, wg, wu, wd)
+            y_dense = np.asarray(jnp.einsum("nec,ecd->nd", combine, eo))
+
+            y_sc, load_s = scatter_dispatch_ffn(
+                x, res.topk_idx, res.topk_weight, wg, wu, wd, cap
+            )
+            np.testing.assert_allclose(
+                np.asarray(y_sc), y_dense, rtol=2e-4, atol=2e-5
+            )
+            np.testing.assert_allclose(np.asarray(load_s), np.asarray(load_d))
+
+    def test_scatter_dispatch_differentiable(self):
+        from deepearth_tpu.ops.moe import scatter_dispatch_ffn
+
+        rng = np.random.default_rng(4)
+        n, d, e, k, f = 16, 8, 4, 2, 16
+        x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        logits = jnp.asarray(rng.standard_normal((n, e)), jnp.float32)
+        res = moe_gate(
+            logits, jnp.zeros(e), top_k=k, n_group=1, topk_group=1,
+            norm_topk_prob=True, routed_scaling_factor=1.0,
+        )
+
+        def loss(ws):
+            y, _ = scatter_dispatch_ffn(
+                x, res.topk_idx, res.topk_weight, ws["g"], ws["u"], ws["d"], 8
+            )
+            return (y ** 2).mean()
+
+        ws = {
+            "g": jnp.asarray(rng.standard_normal((e, d, f)) * 0.1, jnp.float32),
+            "u": jnp.asarray(rng.standard_normal((e, d, f)) * 0.1, jnp.float32),
+            "d": jnp.asarray(rng.standard_normal((e, f, d)) * 0.1, jnp.float32),
+        }
+        grads = jax.grad(loss)(ws)
+        for g in jax.tree_util.tree_leaves(grads):
+            assert np.isfinite(np.asarray(g)).all()
+            assert float(jnp.abs(g).max()) > 0
+
     def test_aux_loss_balanced_is_one(self):
         # perfectly uniform routing → loss ≈ 1
         n, e = 64, 4

@@ -182,7 +182,7 @@ class TestEvalMasking:
             apply_fn=model.apply, params=params,
             tx=create_optimizer(cfg.optimizer),
         )
-        step = make_eval_step(model, cfg)
+        step = jax.jit(make_eval_step(model, cfg))
         m1 = step(state, batch)
         m2 = step(state, batch)
         # masked val loss is nonzero and reproducible
