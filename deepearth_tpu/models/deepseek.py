@@ -116,15 +116,22 @@ class MLAttention(nn.Module):
         )
         if use_flash:
             # Pallas flash kernel: O(N) memory for the 4608-patch vision path.
-            # v is padded to the qk head dim (kernel wants uniform head dims).
+            # Head dims must be ≤128 or a multiple of 128; q/k zero-padding
+            # leaves the scores unchanged, v is padded to match.
             from jax.experimental.pallas.ops.tpu.flash_attention import (
                 flash_attention,
             )
 
-            v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, qh - vh)))
+            qh_pad = qh if qh <= 128 else ((qh + 127) // 128) * 128
+            pad_qk = qh_pad - qh
+            q_in, k_in = query, key
+            if pad_qk:
+                q_in = jnp.pad(query, ((0, 0),) * 3 + ((0, pad_qk),))
+                k_in = jnp.pad(key, ((0, 0),) * 3 + ((0, pad_qk),))
+            v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, qh_pad - vh)))
             out = flash_attention(
-                query.astype(jnp.float32),
-                key.astype(jnp.float32),
+                q_in.astype(jnp.float32),
+                k_in.astype(jnp.float32),
                 v_pad.astype(jnp.float32),
                 causal=is_causal,
                 sm_scale=scale,

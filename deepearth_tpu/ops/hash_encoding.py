@@ -180,9 +180,19 @@ class HashEncoding(nn.Module):
     @nn.compact
     def __call__(self, coords: jnp.ndarray) -> jnp.ndarray:
         cfg = self.cfg
+        # Tables stay float32 regardless of the model's param_dtype: the
+        # F=2 complex64 lane-packing trick (one gather transaction per point)
+        # requires f32 components, and bf16 tables would also degrade the
+        # d-linear interpolation. 2^19 flagship tables are 67 MB — the f32
+        # cost is noise next to the model.
+        table_dtype = (
+            jnp.float32
+            if jnp.dtype(self.param_dtype) == jnp.dtype(jnp.bfloat16)
+            else self.param_dtype
+        )
         tables = self.param(
             "tables",
-            lambda key: init_hash_tables(key, cfg, self.param_dtype),
+            lambda key: init_hash_tables(key, cfg, table_dtype),
         )
         resolutions = jnp.asarray(cfg.resolutions, dtype=jnp.float32)
         return hash_encode(

@@ -1,19 +1,34 @@
 """Dashboard/serving REST API.
 
-Re-implements the reference Flask dashboard's data-service surface
-(reference: dashboard/deepearth_dashboard.py:94-438, ~23 routes) on the
+Re-implements the reference Flask dashboard surface
+(reference: dashboard/deepearth_dashboard.py:94-438, 22 routes) on the
 Python stdlib HTTP server (flask is not in this image). Routes:
 
-  GET  /api/health                    — health/status (services/health_monitoring.py)
-  GET  /api/observations              — observation listing with bbox filter
-  GET  /api/observation/<id>          — single observation
-  GET  /api/species                   — species vocabulary + counts
-  GET  /api/vision_embedding/<id>     — raw mmap-backed embedding (shape+stats)
-  POST /api/training/batch            — ML data service over HTTP
-                                        (services/training_data.py:22-80)
-  POST /api/projection                — 2/3-D embedding projection (UMAP equiv)
-  GET  /api/grid_statistics           — spatial grid aggregation
-  POST /api/predict                   — model inference via the simple API
+  GET  /                               — minimal HTML frontend over the JSON API
+  GET  /api/config                     — dataset/runtime config
+  GET  /api/progress                   — training/loading progress polling
+  GET  /api/health                     — health/status
+  GET  /api/observations               — observation listing with bbox filter
+  GET  /api/observation/<id>           — single observation
+  GET  /api/species                    — species vocabulary + counts
+  GET  /api/species_umap_colors        — stable RGB per species
+  GET  /api/species/<id>/observations  — per-species observation list
+  GET  /api/vision_embedding/<id>      — raw mmap-backed embedding (shape+stats)
+  GET  /api/vision_embeddings/available— ids with stored vision embeddings
+  GET  /api/attention_map/<id>         — spatial saliency grid
+  GET  /api/features/<id>/attention    — alias of the above
+  GET  /api/features/<id>/umap-rgb     — per-patch 3-D projection as RGB
+  GET  /api/features/<id>/statistics   — patch-feature statistics
+  GET  /api/features/<id>/pca-raw      — leading principal components
+  GET  /api/image_proxy/<id>/<n>       — local image proxy (zero-egress)
+  GET  /api/vision_umap, /api/language_umap — store-level projections
+  GET  /api/ecosystems                 — ecosystem clustering
+  GET  /api/grid_statistics            — spatial grid aggregation
+  GET  /static/<path>                  — static files
+  POST /api/training/batch             — ML data service over HTTP
+                                         (services/training_data.py:22-80)
+  POST /api/projection                 — 2/3-D embedding projection
+  POST /api/predict                    — model inference via the simple API
 
 The server is a thin JSON layer over :class:`DataService`; heavy lifting
 stays in the data layer so the same service powers tests without sockets.
@@ -45,16 +60,38 @@ class DataService:
         vision_loader=None,
         language_loader=None,
         predictor=None,
+        config: Optional[Dict[str, Any]] = None,
+        image_dir: Optional[str] = None,
+        static_dir: Optional[str] = None,
     ):
         """observations: columns dict with at least gbif_id, lat, lon, species
         (ints); vision/language loaders: MMapEmbeddingLoader instances;
-        predictor: DeepEarth API instance (optional)."""
+        predictor: DeepEarth API instance (optional); config: dataset config
+        dict served at /api/config; image_dir: local directory backing the
+        image proxy (``<gbif>_<n>.jpg`` — the reference proxied GBIF URLs,
+        zero-egress here); static_dir: files served under /static/."""
         self.obs = observations or {}
         self.vision_loader = vision_loader
         self.language_loader = language_loader
         self.predictor = predictor
+        self.config = config or {}
+        self.image_dir = image_dir
+        self.static_dir = static_dir
         self._start_time = time.time()
         self.request_count = 0
+        # training-progress polling (reference:
+        # dashboard/deepearth_dashboard.py:118-129 cache.current_progress)
+        self._progress: Dict[str, Any] = {"status": "idle"}
+        self._progress_lock = threading.Lock()
+
+    def set_progress(self, **fields) -> None:
+        """Called by trainers/loaders to publish progress for polling."""
+        with self._progress_lock:
+            self._progress.update(fields, updated_at=time.time())
+
+    def progress(self) -> Dict[str, Any]:
+        with self._progress_lock:
+            return dict(self._progress)
 
     # -- route implementations ------------------------------------------------ #
 
@@ -284,6 +321,185 @@ class DataService:
         }
 
 
+    # -- visualization-surface routes (reference: deepearth_dashboard.py) --- #
+
+    def species_umap_colors(self) -> Dict[str, Any]:
+        """Stable RGB color per species for map display
+        (reference: /api/species_umap_colors — UMAP of per-species language
+        embeddings mapped to RGB; falls back to a deterministic hash palette
+        when no language store is configured)."""
+        sp = np.unique(np.asarray(self.obs.get("species", [])))
+        colors: Dict[int, list] = {}
+        if self.language_loader is not None and len(sp):
+            id_arr = np.asarray(self.obs["gbif_id"])
+            sp_arr = np.asarray(self.obs["species"])
+            means = []
+            kept = []
+            for s in sp:
+                ids = id_arr[sp_arr == s][:8]
+                embs = [self.language_loader.get(int(i)) for i in ids]
+                embs = [np.asarray(e).reshape(-1) for e in embs if e is not None]
+                if embs:
+                    means.append(np.stack(embs).mean(0))
+                    kept.append(int(s))
+            if len(means) >= 3:
+                proj = EmbeddingProjector(n_components=3).fit_transform(
+                    np.stack(means)
+                )
+                lo, hi = proj.min(0), proj.max(0)
+                rgb = (proj - lo) / (hi - lo + 1e-9)
+                for s, c in zip(kept, rgb):
+                    colors[s] = [round(float(v), 4) for v in c]
+        for s in sp:  # hash fallback for species without embeddings
+            if int(s) not in colors:
+                h = (int(s) * 2654435761) & 0xFFFFFF
+                colors[int(s)] = [
+                    ((h >> 16) & 255) / 255.0,
+                    ((h >> 8) & 255) / 255.0,
+                    (h & 255) / 255.0,
+                ]
+        return {"colors": {str(k): v for k, v in colors.items()}}
+
+    def vision_available(self, limit: int = 10000) -> Dict[str, Any]:
+        """IDs with stored vision embeddings
+        (reference: /api/vision_embeddings/available)."""
+        if self.vision_loader is None:
+            return {"count": 0, "ids": []}
+        ids = [int(i) for i in self.vision_loader.ids[:limit]]
+        return {"count": len(self.vision_loader), "ids": ids}
+
+    def species_observations(self, species: int, limit: int = 1000) -> Dict[str, Any]:
+        """All observations of one species
+        (reference: /api/species/<taxon_id>/observations)."""
+        sp = np.asarray(self.obs.get("species", []))
+        idx = np.nonzero(sp == species)[0][:limit]
+        return {
+            "species": species,
+            "count": int(len(idx)),
+            "observations": [
+                {
+                    "gbif_id": int(self.obs["gbif_id"][i]),
+                    "lat": float(self.obs["lat"][i]),
+                    "lon": float(self.obs["lon"][i]),
+                }
+                for i in idx
+            ],
+        }
+
+    def _patch_features(self, gbif_id: int) -> Optional[np.ndarray]:
+        """(24, 24, C) time-averaged patch features for one observation."""
+        if self.vision_loader is None:
+            return None
+        emb = self.vision_loader.get(gbif_id)
+        if emb is None:
+            return None
+        emb = np.asarray(emb)
+        if emb.ndim == 4:  # (T, H, W, C) → time-mean
+            return emb.mean(0)
+        if emb.ndim == 2:  # (S, C) square grid
+            side = int(np.sqrt(emb.shape[0]))
+            return emb[: side * side].reshape(side, side, -1)
+        return None
+
+    def features_umap_rgb(self, gbif_id: int) -> Optional[Dict[str, Any]]:
+        """Per-patch 3-D projection → RGB grid
+        (reference: /api/features/<id>/umap-rgb)."""
+        feats = self._patch_features(gbif_id)
+        if feats is None:
+            return None
+        h, w, c = feats.shape
+        proj = EmbeddingProjector(n_components=3).fit_transform(
+            feats.reshape(-1, c)
+        )
+        lo, hi = proj.min(0), proj.max(0)
+        rgb = ((proj - lo) / (hi - lo + 1e-9)).reshape(h, w, 3)
+        return {"gbif_id": gbif_id, "shape": [h, w, 3],
+                "rgb": np.round(rgb, 4).tolist()}
+
+    def features_statistics(self, gbif_id: int) -> Optional[Dict[str, Any]]:
+        """Patch-feature statistics (reference: /api/features/<id>/statistics)."""
+        feats = self._patch_features(gbif_id)
+        if feats is None:
+            return None
+        norms = np.linalg.norm(feats, axis=-1)
+        return {
+            "gbif_id": gbif_id,
+            "grid": list(feats.shape[:2]),
+            "channels": int(feats.shape[-1]),
+            "feature_mean": float(feats.mean()),
+            "feature_std": float(feats.std()),
+            "patch_norm_mean": float(norms.mean()),
+            "patch_norm_std": float(norms.std()),
+            "patch_norm_min": float(norms.min()),
+            "patch_norm_max": float(norms.max()),
+        }
+
+    def features_pca_raw(self, gbif_id: int, k: int = 3) -> Optional[Dict[str, Any]]:
+        """Raw leading principal components per patch
+        (reference: /api/features/<id>/pca-raw)."""
+        feats = self._patch_features(gbif_id)
+        if feats is None:
+            return None
+        h, w, c = feats.shape
+        comp = EmbeddingProjector(
+            n_components=k, method="pca"
+        ).fit_transform(feats.reshape(-1, c)).reshape(h, w, k)
+        return {"gbif_id": gbif_id, "shape": [h, w, k],
+                "components": np.round(comp, 5).tolist()}
+
+    def image_path(self, gbif_id: int, image_num: int) -> Optional[str]:
+        """Local file behind the image proxy (reference:
+        /api/image_proxy/<gbif>/<n> fetched GBIF media URLs; this image has
+        zero egress, so the proxy serves a configured local directory)."""
+        if self.image_dir is None:
+            return None
+        import os as _os
+
+        for ext in ("jpg", "jpeg", "png"):
+            p = _os.path.join(self.image_dir, f"{gbif_id}_{image_num}.{ext}")
+            if _os.path.exists(p):
+                return p
+        return None
+
+
+_INDEX_HTML = """<!doctype html>
+<html><head><meta charset="utf-8"><title>DeepEarth-TPU dashboard</title>
+<style>
+ body{font-family:system-ui,sans-serif;margin:2rem;max-width:70rem}
+ h1{font-size:1.3rem} table{border-collapse:collapse;font-size:.85rem}
+ td,th{border:1px solid #ccc;padding:.2rem .5rem} #grid{margin-top:1rem}
+ .cell{display:inline-block;width:14px;height:14px;margin:1px}
+</style></head><body>
+<h1>DeepEarth-TPU dashboard</h1>
+<div id="health">loading…</div>
+<div id="progress"></div>
+<h2>Observation density</h2><div id="grid"></div>
+<h2>Observations</h2><table id="obs"><tr>
+<th>gbif_id</th><th>lat</th><th>lon</th><th>species</th></tr></table>
+<script>
+async function j(u){const r=await fetch(u);return r.json()}
+(async()=>{
+ const h=await j('/api/health');
+ document.getElementById('health').textContent=
+   `status: ${h.status} · ${h.n_observations} observations · `+
+   `${h.requests} requests · up ${h.uptime_s}s`;
+ const p=await j('/api/progress');
+ document.getElementById('progress').textContent='training: '+
+   JSON.stringify(p);
+ const g=await j('/api/grid_statistics?n_bins=16');
+ const mx=Math.max(1,...g.grid.flat());
+ document.getElementById('grid').innerHTML=g.grid.map(row=>
+   row.map(v=>`<span class="cell" style="background:rgba(16,90,160,${v/mx})"></span>`)
+      .join('')).join('<br>');
+ const o=await j('/api/observations?limit=25');
+ const t=document.getElementById('obs');
+ for(const r of o.observations){const tr=document.createElement('tr');
+  tr.innerHTML=`<td>${r.gbif_id}</td><td>${r.lat.toFixed(4)}</td>`+
+    `<td>${r.lon.toFixed(4)}</td><td>${r.species}</td>`;t.appendChild(tr);}
+})();
+</script></body></html>"""
+
+
 def _to_py(v):
     if isinstance(v, (np.integer,)):
         return int(v)
@@ -307,12 +523,83 @@ def make_handler(service: DataService):
             self.end_headers()
             self.wfile.write(body)
 
+        def _send_raw(self, body: bytes, ctype: str) -> None:
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _send_file(self, path: str) -> None:
+            import mimetypes
+
+            ctype = mimetypes.guess_type(path)[0] or "application/octet-stream"
+            with open(path, "rb") as f:
+                self._send_raw(f.read(), ctype)
+
         def do_GET(self):
             service.request_count += 1
             url = urlparse(self.path)
             parts = [p for p in url.path.split("/") if p]
             q = parse_qs(url.query)
             try:
+                if not parts:  # '/' — minimal HTML frontend over the JSON API
+                    return self._send_raw(
+                        _INDEX_HTML.encode(), "text/html; charset=utf-8"
+                    )
+                if parts == ["api", "config"]:
+                    return self._send(200, service.config)
+                if parts == ["api", "progress"]:
+                    return self._send(200, service.progress())
+                if parts == ["api", "species_umap_colors"]:
+                    return self._send(200, service.species_umap_colors())
+                if parts == ["api", "vision_embeddings", "available"]:
+                    return self._send(200, service.vision_available())
+                if (
+                    len(parts) == 4
+                    and parts[:2] == ["api", "species"]
+                    and parts[3] == "observations"
+                ):
+                    return self._send(
+                        200,
+                        service.species_observations(
+                            int(parts[2]),
+                            limit=int(q.get("limit", ["1000"])[0]),
+                        ),
+                    )
+                if len(parts) == 4 and parts[:2] == ["api", "features"]:
+                    gid = int(parts[2])
+                    fn = {
+                        "umap-rgb": service.features_umap_rgb,
+                        "statistics": service.features_statistics,
+                        "pca-raw": service.features_pca_raw,
+                        "attention": service.attention_map,
+                    }.get(parts[3])
+                    if fn is None:
+                        return self._send(404, {"error": "unknown feature op"})
+                    out = fn(gid)
+                    if out is None:
+                        return self._send(404, {"error": "not found"})
+                    return self._send(200, out)
+                if len(parts) == 4 and parts[:2] == ["api", "image_proxy"]:
+                    p = service.image_path(int(parts[2]), int(parts[3]))
+                    if p is None:
+                        return self._send(
+                            404,
+                            {"error": "no local image; zero-egress build "
+                             "serves image_dir only"},
+                        )
+                    return self._send_file(p)
+                if len(parts) >= 2 and parts[0] == "static":
+                    import os as _os
+
+                    if service.static_dir is None:
+                        return self._send(404, {"error": "no static dir"})
+                    root = _os.path.abspath(service.static_dir)
+                    p = _os.path.abspath(_os.path.join(root, *parts[1:]))
+                    if not p.startswith(root + _os.sep) or not _os.path.exists(p):
+                        return self._send(404, {"error": "not found"})
+                    return self._send_file(p)
                 if parts == ["api", "health"]:
                     return self._send(200, service.health())
                 if parts == ["api", "observations"]:

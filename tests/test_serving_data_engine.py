@@ -333,6 +333,122 @@ class TestAnalysisRoutes:
             srv.stop()
 
 
+class TestDashboardSurfaceRoutes:
+    """Route-count parity with the reference dashboard
+    (reference: dashboard/deepearth_dashboard.py:94-438)."""
+
+    @pytest.fixture(scope="class")
+    def full_server(self, tmp_path_factory):
+        tmp_path = tmp_path_factory.mktemp("dash")
+        ds = make_dataset(24, seed=4)
+        cols = ds.columns()
+        ids = cols["gbif_id"][:24]
+        rng = np.random.default_rng(5)
+        vis = rng.standard_normal((24, 2, 4, 4, 16)).astype(np.float32)
+        vloader = convert_arrays_to_store(str(tmp_path / "vd"), ids, vis)
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        (img_dir / f"{int(ids[0])}_1.png").write_bytes(
+            bytes.fromhex(  # 1x1 png
+                "89504e470d0a1a0a0000000d49484452000000010000000108060000001f"
+                "15c4890000000d4944415478da63fccf0000030101004c2f0296c8000000"
+                "0049454e44ae426082"
+            )
+        )
+        static_dir = tmp_path / "static"
+        static_dir.mkdir()
+        (static_dir / "app.js").write_text("console.log('deepearth')")
+        service = DataService(
+            observations=cols, vision_loader=vloader,
+            config={"dataset": "synthetic", "n": 24},
+            image_dir=str(img_dir), static_dir=str(static_dir),
+        )
+        srv = DashboardServer(service, port=0).start()
+        yield srv, service, cols, ids
+        srv.stop()
+
+    def test_index_html(self, full_server):
+        import urllib.request
+
+        srv, *_ = full_server
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/", timeout=30
+        ) as r:
+            body = r.read().decode()
+            assert r.headers["Content-Type"].startswith("text/html")
+        assert "DeepEarth" in body and "/api/health" in body
+
+    def test_config_and_progress(self, full_server):
+        srv, service, *_ = full_server
+        c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+        assert c._get("/api/config")["dataset"] == "synthetic"
+        assert c._get("/api/progress")["status"] == "idle"
+        service.set_progress(status="training", step=42, loss=1.5)
+        p = c._get("/api/progress")
+        assert p["step"] == 42 and p["status"] == "training"
+
+    def test_species_colors_and_observations(self, full_server):
+        srv, _, cols, _ = full_server
+        c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+        colors = c._get("/api/species_umap_colors")["colors"]
+        assert len(colors) == len(np.unique(cols["species"]))
+        for v in colors.values():
+            assert len(v) == 3 and all(0 <= x <= 1 for x in v)
+        sp = int(cols["species"][0])
+        obs = c._get(f"/api/species/{sp}/observations")
+        assert obs["count"] >= 1
+        assert all(
+            int(cols["species"][list(cols["gbif_id"]).index(o["gbif_id"])])
+            == sp
+            for o in obs["observations"]
+        )
+
+    def test_vision_available_and_feature_routes(self, full_server):
+        srv, _, _, ids = full_server
+        c = DashboardClient(f"http://127.0.0.1:{srv.port}")
+        avail = c._get("/api/vision_embeddings/available")
+        assert avail["count"] == 24
+        gid = int(ids[0])
+        rgb = c._get(f"/api/features/{gid}/umap-rgb")
+        assert rgb["shape"] == [4, 4, 3]
+        arr = np.asarray(rgb["rgb"])
+        assert arr.min() >= 0 and arr.max() <= 1
+        stats = c._get(f"/api/features/{gid}/statistics")
+        assert stats["channels"] == 16 and stats["patch_norm_max"] > 0
+        pca = c._get(f"/api/features/{gid}/pca-raw")
+        assert np.asarray(pca["components"]).shape == (4, 4, 3)
+        att = c._get(f"/api/features/{gid}/attention")
+        assert att["shape"] == [4, 4]
+
+    def test_image_proxy_and_static(self, full_server):
+        import urllib.error
+        import urllib.request
+
+        srv, _, _, ids = full_server
+        base = f"http://127.0.0.1:{srv.port}"
+        with urllib.request.urlopen(
+            f"{base}/api/image_proxy/{int(ids[0])}/1", timeout=30
+        ) as r:
+            assert r.headers["Content-Type"] == "image/png"
+            assert r.read()[:4] == b"\x89PNG"
+        # missing image → 404 JSON
+        try:
+            urllib.request.urlopen(f"{base}/api/image_proxy/999999/1", timeout=30)
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+        with urllib.request.urlopen(f"{base}/static/app.js", timeout=30) as r:
+            assert b"deepearth" in r.read()
+        # path traversal rejected
+        try:
+            urllib.request.urlopen(
+                f"{base}/static/../../etc/passwd", timeout=30
+            )
+            assert False, "expected 404"
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+
+
 class TestFullVisionBidirectional:
     def test_language_to_full_vision_grid(self):
         model = BidirectionalReconstructor(
