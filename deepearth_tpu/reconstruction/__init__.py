@@ -5,12 +5,15 @@ replacing the reference's CUDA gsplat)."""
 from .gaussian_splat import (
     Camera,
     GaussianScene,
+    densify_and_prune,
     fit_scene,
+    fit_scene_adaptive,
     init_scene,
     project_gaussians,
     prune_scene,
     quat_to_rotmat,
     render,
+    reset_opacity,
 )
 from .geofusion_dataset import CameraIntrinsics, Frame, GeoFusionDataset
 from .visualize import (
@@ -29,6 +32,9 @@ from .point_cloud import (
 )
 
 __all__ = [
+    "densify_and_prune",
+    "fit_scene_adaptive",
+    "reset_opacity",
     "plot_attention_map",
     "plot_observation_map",
     "plot_point_cloud",

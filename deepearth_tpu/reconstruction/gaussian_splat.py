@@ -220,3 +220,174 @@ def fit_scene(
     for _ in range(steps):
         scene, opt_state, loss = step(scene, opt_state, target)
     return scene, float(loss)
+
+
+# --------------------------------------------------------------------------- #
+# Adaptive density control (reference: reconstruction/gaussian_splat.py:44-60
+# — the gsplat trainer's densify/prune loop). TPU design: shapes are STATIC
+# inside each jit phase; densification resizes the scene between phases
+# (each new Gaussian count re-traces once, and counts are capped).
+# --------------------------------------------------------------------------- #
+
+
+def densify_and_prune(
+    scene: GaussianScene,
+    grad_avg: jnp.ndarray,
+    key: jax.Array,
+    *,
+    grad_threshold: float = 5e-4,
+    split_scale: float = 0.05,
+    split_factor: float = 1.6,
+    min_opacity: float = 0.01,
+    max_gaussians: int = 50_000,
+):
+    """Host-side adaptive density control.
+
+    * prune: drop Gaussians with opacity < ``min_opacity``
+    * clone: duplicate small high-gradient Gaussians in place
+    * split: replace large high-gradient Gaussians with two children
+      sampled from the parent, scales divided by ``split_factor``
+
+    Args:
+        grad_avg: (G,) mean position-gradient norms since the last call.
+
+    Returns:
+        (new_scene, src_rows): ``src_rows[i]`` is the parent row of new row
+        ``i`` — use it to remap optimizer moments across the resize.
+    """
+    import numpy as np
+
+    g = scene.means.shape[0]
+    opac = np.asarray(jax.nn.sigmoid(scene.opacity_logits))
+    grad_avg = np.asarray(grad_avg)
+    scales = np.asarray(jnp.exp(scene.log_scales)).max(-1)
+
+    keep = opac >= min_opacity
+    high = grad_avg > grad_threshold
+    clone = keep & high & (scales <= split_scale)
+    split = keep & high & (scales > split_scale)
+    stay = keep & ~split
+
+    idx = np.arange(g)
+    src_rows = np.concatenate(
+        [idx[stay], idx[clone], np.repeat(idx[split], 2)]
+    )
+    if len(src_rows) > max_gaussians:
+        src_rows = src_rows[:max_gaussians]
+    is_split_child = np.zeros(len(src_rows), bool)
+    n_stay_clone = int(stay.sum() + clone.sum())
+    is_split_child[n_stay_clone:] = True
+
+    take = lambda a: jnp.asarray(np.asarray(a)[src_rows])  # noqa: E731
+    new = GaussianScene(
+        means=take(scene.means),
+        log_scales=take(scene.log_scales),
+        quats=take(scene.quats),
+        colors=take(scene.colors),
+        opacity_logits=take(scene.opacity_logits),
+    )
+
+    if is_split_child.any():
+        # sample child means from the parent Gaussian; shrink scales
+        child = jnp.asarray(is_split_child)
+        eps = jax.random.normal(key, new.means.shape)
+        R = quat_to_rotmat(new.quats)
+        offs = jnp.einsum(
+            "gij,gj->gi", R, eps * jnp.exp(new.log_scales)
+        )
+        new = new._replace(
+            means=jnp.where(child[:, None], new.means + offs, new.means),
+            log_scales=jnp.where(
+                child[:, None],
+                new.log_scales - jnp.log(split_factor),
+                new.log_scales,
+            ),
+        )
+    return new, src_rows
+
+
+def reset_opacity(scene: GaussianScene, value: float = 0.01) -> GaussianScene:
+    """Periodic opacity reset (gsplat behaviour): clamp opacity down so
+    pruning can reconsider every Gaussian."""
+    cap = jnp.log(value / (1 - value))
+    return scene._replace(
+        opacity_logits=jnp.minimum(scene.opacity_logits, cap)
+    )
+
+
+def make_train_step_with_stats(cam: Camera, lr: float = 1e-2):
+    """Like :func:`make_train_step` but also returns per-Gaussian position
+    gradient norms (drives densification)."""
+    import optax
+
+    tx = optax.adam(lr)
+
+    @jax.jit
+    def step(scene: GaussianScene, opt_state, target: jnp.ndarray):
+        def loss_fn(s):
+            img = render(s, cam)
+            return jnp.mean((img - target) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn)(scene)
+        gnorm = jnp.linalg.norm(grads.means, axis=-1)
+        updates, opt_state = tx.update(grads, opt_state)
+        scene = optax.apply_updates(scene, updates)
+        return scene, opt_state, loss, gnorm
+
+    return tx, step
+
+
+def fit_scene_adaptive(
+    target: jnp.ndarray,
+    cam: Camera,
+    n_init: int = 64,
+    steps: int = 600,
+    densify_every: int = 150,
+    densify_until: Optional[int] = None,
+    lr: float = 2e-2,
+    seed: int = 0,
+    extent: float = 1.0,
+    max_gaussians: int = 50_000,
+    **densify_kw,
+) -> Tuple[GaussianScene, float]:
+    """Fit with adaptive density control: train → densify/prune → re-jit.
+
+    Starts from few Gaussians and grows capacity where the photometric
+    gradient concentrates, matching the reference trainer's behaviour
+    (reference: reconstruction/gaussian_splat.py:44-60) without dynamic
+    shapes inside jit.
+    """
+    import numpy as np
+    import optax
+
+    densify_until = densify_until or (steps * 2) // 3
+    key = jax.random.PRNGKey(seed)
+    key, k0 = jax.random.split(key)
+    scene = init_scene(k0, n_init, extent)
+    tx, step = make_train_step_with_stats(cam, lr)
+    opt_state = tx.init(scene)
+
+    grad_accum = jnp.zeros(n_init)
+    n_since = 0
+    loss = jnp.inf
+    for i in range(steps):
+        scene, opt_state, loss, gnorm = step(scene, opt_state, target)
+        grad_accum = grad_accum + gnorm
+        n_since += 1
+        if i < densify_until and (i + 1) % densify_every == 0:
+            key, kd = jax.random.split(key)
+            scene, src = densify_and_prune(
+                scene, grad_accum / max(n_since, 1), kd,
+                max_gaussians=max_gaussians, **densify_kw,
+            )
+            # remap adam moments to the new rows (children inherit parents)
+            def remap(t):
+                t = np.asarray(t)
+                if t.ndim and t.shape[0] == len(grad_accum):
+                    return jnp.asarray(t[src])
+                return jnp.asarray(t)
+
+            opt_state = jax.tree_util.tree_map(remap, opt_state)
+            grad_accum = jnp.zeros(scene.means.shape[0])
+            n_since = 0
+    return scene, float(loss)

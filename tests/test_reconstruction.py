@@ -171,6 +171,70 @@ class TestGaussianSplat:
                             extent=0.5)
         assert loss < loss0 * 0.5, f"{loss0} → {loss}"
 
+    def test_densify_and_prune_ops(self):
+        import jax
+        import jax.numpy as jnp
+        from deepearth_tpu.reconstruction import (
+            densify_and_prune, init_scene, reset_opacity,
+        )
+
+        scene = init_scene(jax.random.PRNGKey(0), 8, extent=0.5)
+        # rows 0-1 low opacity (pruned); row 2 small+high-grad (cloned);
+        # row 3 big+high-grad (split into 2)
+        scene = scene._replace(
+            opacity_logits=jnp.asarray([-9.0, -9.0, 2.0, 2.0, 0.0, 0.0, 0.0, 0.0]),
+            log_scales=scene.log_scales.at[3].set(jnp.log(0.2)),
+        )
+        grads = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0]) * 1e-2
+        new, src = densify_and_prune(
+            scene, grads, jax.random.PRNGKey(1),
+            grad_threshold=1e-3, split_scale=0.15, min_opacity=0.01,
+        )
+        # 8 - 2 pruned - 1 split-removed + 1 clone + 2 children = 8
+        assert new.means.shape[0] == 8
+        assert (src == 2).sum() == 2  # clone keeps a duplicate of row 2
+        assert (src == 3).sum() == 2  # split spawns two children of row 3
+        # split children shrink
+        child_scales = np.exp(np.asarray(new.log_scales[src == 3]))
+        assert (child_scales < 0.2).all()
+        # opacity reset caps everything at the reset value
+        r = reset_opacity(new, 0.01)
+        assert float(jax.nn.sigmoid(r.opacity_logits).max()) <= 0.0101
+
+    def test_densification_beats_fixed_count(self):
+        """Adaptive density control reaches a better fit than a fixed-count
+        scene with the same FINAL Gaussian budget (VERDICT round-1 item 8;
+        reference: reconstruction/gaussian_splat.py:44-60)."""
+        import jax
+        import jax.numpy as jnp
+        from deepearth_tpu.reconstruction import (
+            fit_scene, fit_scene_adaptive, init_scene, render,
+        )
+
+        cam = self._cam(24, 24)
+        # concentrated structure: a tight cluster of bright Gaussians
+        true_scene = init_scene(jax.random.PRNGKey(3), 12, extent=0.15)
+        true_scene = true_scene._replace(
+            opacity_logits=jnp.full((12,), 2.5),
+            colors=jax.random.normal(jax.random.PRNGKey(4), (12, 3)) * 2,
+        )
+        target = render(true_scene, cam)
+
+        adaptive_scene, adaptive_loss = fit_scene_adaptive(
+            target, cam, n_init=8, steps=360, densify_every=90,
+            lr=2e-2, seed=0, extent=0.5,
+            grad_threshold=1e-4, split_scale=0.08,
+        )
+        final_g = adaptive_scene.means.shape[0]
+        assert final_g > 8, "densification never grew the scene"
+        _, fixed_loss = fit_scene(
+            target, cam, n_gaussians=final_g, steps=360, seed=0, extent=0.5
+        )
+        assert adaptive_loss < fixed_loss, (
+            f"adaptive {adaptive_loss:.5f} vs fixed {fixed_loss:.5f} "
+            f"at G={final_g}"
+        )
+
 
 class TestVisualize:
     def test_all_plots_write_png(self, tmp_path):
