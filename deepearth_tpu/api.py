@@ -60,14 +60,66 @@ def load_file(path: str) -> np.ndarray:
     if ext == ".csv":
         return np.genfromtxt(path, delimiter=",", skip_header=1)
     if ext in (".tif", ".tiff"):
-        raise ImportError(
-            "GeoTIFF support requires rasterio (not available in this image)"
-        )
+        return load_geotiff(path)
     if ext in (".nc", ".nc4"):
-        raise ImportError(
-            "NetCDF support requires netCDF4 (not available in this image)"
-        )
+        return load_netcdf(path)
     raise ValueError(f"unsupported file type {ext}")
+
+
+def load_geotiff(path: str) -> np.ndarray:
+    """GeoTIFF → (bands, H, W) array (reference: deepearth_api.py:270).
+
+    rasterio if available (reads CRS-aware rasters), otherwise PIL's TIFF
+    reader (pixel data only — geo metadata is ignored, which matches how the
+    reference used the raster: as a plain array)."""
+    try:
+        import rasterio
+
+        with rasterio.open(path) as src:
+            return src.read()
+    except ImportError:
+        from PIL import Image
+
+        img = np.asarray(Image.open(path))
+        if img.ndim == 2:
+            return img[None]
+        return np.moveaxis(img, -1, 0)  # (H, W, C) → (C, H, W)
+
+
+def load_netcdf(path: str, variable: Optional[str] = None) -> np.ndarray:
+    """NetCDF → array of ``variable`` (default: first non-coordinate var).
+
+    netCDF4/xarray if available (NetCDF-4/HDF5), otherwise scipy's stdlib
+    NetCDF-3 reader (reference: deepearth_api.py:270)."""
+    try:
+        import netCDF4  # type: ignore
+
+        with netCDF4.Dataset(path) as ds:
+            name = variable or next(
+                n for n, v in ds.variables.items() if v.ndim >= 2
+            )
+            return np.asarray(ds.variables[name][:])
+    except ImportError:
+        pass
+    try:
+        import xarray as xr  # type: ignore
+
+        ds = xr.open_dataset(path)
+        name = variable or next(iter(ds.data_vars))
+        return ds[name].to_numpy()
+    except ImportError:
+        pass
+    from scipy.io import netcdf_file
+
+    with netcdf_file(path, "r", mmap=False) as ds:
+        candidates = {
+            n: v for n, v in ds.variables.items() if n not in ds.dimensions
+        }
+        name = variable or next(
+            (n for n, v in candidates.items() if v.data.ndim >= 2),
+            next(iter(candidates)),
+        )
+        return np.array(ds.variables[name].data)
 
 
 class DeepEarth:

@@ -3,6 +3,7 @@ service."""
 
 from .client import DashboardClient
 from .language_server import (
+    DeepSeekFlaxEmbedder,
     HashEmbedder,
     HFEmbedder,
     LanguageClient,
@@ -12,6 +13,7 @@ from .language_server import (
 from .server import DashboardServer, DataService
 
 __all__ = [
+    "DeepSeekFlaxEmbedder",
     "DashboardClient",
     "DashboardServer",
     "DataService",

@@ -83,6 +83,78 @@ class HFEmbedder:
         return pooled[0].cpu().numpy().astype(np.float32)
 
 
+class DeepSeekFlaxEmbedder:
+    """TPU-side real-weight embedder: serve embeddings (and generation) from
+    a converted DeepSeek checkpoint through the flax stack.
+
+    Replaces the reference's llama.cpp GGUF server (300-400 GB host RAM,
+    reference: encoders/language/README.md:18-31) with the jit-compiled
+    MLA/MoE model on the accelerator; weights arrive via
+    :func:`deepearth_tpu.models.hf_convert.load_hf_checkpoint` or any torch
+    state_dict.
+
+    Embedding = masked-mean of final hidden states (the reference server's
+    ``embedding=True`` semantics).
+    """
+
+    def __init__(self, params, cfg, vocab_size: int, tokenizer=None):
+        import jax
+        import jax.numpy as jnp
+
+        from ..models.deepseek import DeepSeekTransformer
+
+        self.cfg = cfg
+        self.vocab_size = vocab_size
+        self.dim = cfg.hidden_dim
+        self.params = jax.tree_util.tree_map(np.asarray, params)
+        self.tokenizer = tokenizer or HashEmbedder(dim=cfg.hidden_dim)
+
+        def hidden(p, ids, mask):
+            emb = p["embed_tokens"]["embedding"][ids]
+            h = DeepSeekTransformer(cfg).apply(
+                {"params": p["model"]}, emb, key_mask=mask, is_causal=True
+            )
+            w = mask[..., None].astype(h.dtype)
+            return (h * w).sum(1) / jnp.maximum(w.sum(1), 1.0)
+
+        self._hidden = jax.jit(hidden)
+
+    @classmethod
+    def from_checkpoint(cls, path: str, hf_config=None, tokenizer=None):
+        from ..models.hf_convert import load_hf_checkpoint
+
+        params, cfg, vocab = load_hf_checkpoint(path, hf_config)
+        return cls(params, cfg, vocab, tokenizer)
+
+    def tokenize(self, text: str) -> List[int]:
+        if hasattr(self.tokenizer, "tokenize"):
+            toks = self.tokenizer.tokenize(text)
+            return [t % self.vocab_size for t in toks]
+        return [t % self.vocab_size for t in self.tokenizer(text)["input_ids"]]
+
+    def embed(self, text: str) -> np.ndarray:
+        import jax.numpy as jnp
+
+        ids = self.tokenize(text) or [0]
+        ids_arr = jnp.asarray([ids], jnp.int32)
+        mask = jnp.ones_like(ids_arr, bool)
+        out = self._hidden(self.params, ids_arr, mask)
+        return np.asarray(out[0], np.float32)
+
+    def generate(self, text: str, max_new_tokens: int = 32,
+                 temperature: float = 0.0) -> List[int]:
+        import jax.numpy as jnp
+
+        from ..models.generation import generate as _generate
+
+        ids = jnp.asarray([self.tokenize(text) or [0]], jnp.int32)
+        toks = _generate(
+            self.params, self.cfg, ids, max_new_tokens,
+            temperature=temperature,
+        )
+        return np.asarray(toks[0]).tolist()
+
+
 class LanguageEmbeddingService:
     def __init__(self, embedder=None):
         self.embedder = embedder or HashEmbedder()

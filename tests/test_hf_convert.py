@@ -196,6 +196,41 @@ class TestHFConversion:
         toks = generate(params, cfg, prompt, max_new_tokens=1)
         assert int(toks[0, 0]) == expected_first
 
+    def test_language_service_real_weight_path(self, tiny_ref_model):
+        """Converted checkpoint served through the language embedding
+        service over HTTP (replaces the reference's GGUF llama.cpp server,
+        reference: encoders/language/server.py:31-50)."""
+        from deepearth_tpu.serving import (
+            DeepSeekFlaxEmbedder,
+            LanguageClient,
+            LanguageEmbeddingService,
+            LanguageServer,
+        )
+
+        hf_cfg, ref_model = tiny_ref_model
+        cfg, vocab = config_from_hf(hf_cfg)
+        params = convert_hf_state_dict(ref_model.state_dict(), cfg)
+        emb = DeepSeekFlaxEmbedder(params, cfg, vocab)
+        srv = LanguageServer(LanguageEmbeddingService(emb)).start()
+        try:
+            c = LanguageClient(f"http://127.0.0.1:{srv.port}", timeout=300)
+            h = c.health()
+            assert h["backend"] == "DeepSeekFlaxEmbedder"
+            assert h["dim"] == cfg.hidden_dim
+            v1 = c.embed("quercus virginiana in florida")
+            v2 = c.embed("quercus virginiana in florida")
+            v3 = c.embed("something entirely different")
+            assert v1.shape == (cfg.hidden_dim,)
+            np.testing.assert_allclose(v1, v2)
+            assert not np.allclose(v1, v3)
+            toks = c.tokenize("live oak")
+            assert all(0 <= t < vocab for t in toks)
+        finally:
+            srv.stop()
+        # generation through the same embedder (greedy)
+        out = emb.generate("live oak", max_new_tokens=4)
+        assert len(out) == 4 and all(0 <= t < vocab for t in out)
+
     def test_cache_compression_at_v3_dims(self):
         """57× cache-ratio claim holds for real V3 dims during decode
         (reference: README.md:29)."""
