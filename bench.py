@@ -31,6 +31,7 @@ BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE_CPU.jso
 
 # Fusion sequence: cls + spacetime + species (A-stack comparable scale).
 TOKENS_PER_OBS = 3
+HASH_TABLE_SIZE = 2 ** 19  # reference default (models/configs.py)
 
 
 def log(*a):
@@ -53,11 +54,9 @@ def bench_ours() -> dict:
         n_layers=12,
         grid4d=Grid4DConfig(
             n_spatial_levels=16, n_temporal_levels=8,
-            # 2^17 tables: same level structure as the reference default
-            # (2^19) at 1/4 the parameter budget — keeps the benchmark's
-            # upload/compile cost sane on tunneled runtimes. The torch CPU
-            # baseline below uses the same size for a fair ratio.
-            n_features_per_level=2, hash_table_size=2 ** 17,
+            # Reference-default table size (models/configs.py: 2^19). The
+            # torch CPU baseline below uses the same size for a fair ratio.
+            n_features_per_level=2, hash_table_size=HASH_TABLE_SIZE,
         ),
         modality_encoder=TransformerConfig(hidden_dim=384, n_heads=6, n_layers=4),
         compute_dtype=jnp.bfloat16,
@@ -146,7 +145,10 @@ def bench_reference_cpu() -> float:
     """
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
-            return json.load(f)["obs_per_s"]
+            cached = json.load(f)
+        # invalidate caches measured at a different table size
+        if cached.get("hash_table_size", 2 ** 17) == HASH_TABLE_SIZE:
+            return cached["obs_per_s"]
     try:
         sys.path.insert(0, "/root/reference")
         import torch
@@ -159,7 +161,7 @@ def bench_reference_cpu() -> float:
         )
 
         torch.set_num_threads(os.cpu_count() or 8)
-        rc = RefConfig(hash_table_size=2 ** 17)
+        rc = RefConfig(hash_table_size=HASH_TABLE_SIZE)
 
         class RefModel(torch.nn.Module):
             def __init__(self):
@@ -221,6 +223,7 @@ def bench_reference_cpu() -> float:
             json.dump(
                 {
                     "obs_per_s": obs_per_s,
+                    "hash_table_size": HASH_TABLE_SIZE,
                     "what": "torch CPU reference A-stack fwd+bwd+adam, batch "
                     f"{BATCH} (models/{{encoders,transformers,decoders}}.py)",
                 },
@@ -256,6 +259,28 @@ def main():
         if np.isfinite(baseline_obs_s)
         else None
     )
+    detail = {
+        "obs_per_s": round(ours["obs_per_s"], 1),
+        "hash_table_size": HASH_TABLE_SIZE,
+        "p50_forward_ms_batch256": round(ours["p50_forward_ms"], 2),
+        "reference_cpu_obs_per_s": (
+            round(baseline_obs_s, 1) if np.isfinite(baseline_obs_s) else None
+        ),
+    }
+    # fold in the big-model/pipeline artifacts measured by
+    # tools/bench_flagship.py and tools/bench_e2e.py when present
+    here = os.path.dirname(os.path.abspath(__file__))
+    for key, fname in (
+        ("flagship", "BENCH_FLAGSHIP.json"),
+        ("input_pipeline", "BENCH_E2E.json"),
+    ):
+        p = os.path.join(here, fname)
+        if os.path.exists(p):
+            try:
+                with open(p) as f:
+                    detail[key] = json.load(f)
+            except Exception:
+                pass
     print(
         json.dumps(
             {
@@ -264,15 +289,7 @@ def main():
                 "value": round(tokens_per_s, 1),
                 "unit": "tokens/s/chip",
                 "vs_baseline": round(vs, 2) if vs is not None else None,
-                "detail": {
-                    "obs_per_s": round(ours["obs_per_s"], 1),
-                    "p50_forward_ms_batch256": round(ours["p50_forward_ms"], 2),
-                    "reference_cpu_obs_per_s": (
-                        round(baseline_obs_s, 1)
-                        if np.isfinite(baseline_obs_s)
-                        else None
-                    ),
-                },
+                "detail": detail,
             }
         )
     )

@@ -9,6 +9,7 @@ from .extractors import (
     run_parallel_extraction,
 )
 from .batches import collate_observations, device_prefetch, threaded_producer
+from .npy_dataset import NpySampleDataset, write_npy_dataset
 from .observations import (
     DatasetConfig,
     ObservationDataset,
@@ -39,6 +40,8 @@ from .synthetic import (
 )
 
 __all__ = [
+    "NpySampleDataset",
+    "write_npy_dataset",
     "BaseModalityExtractor",
     "LanguageModelExtractor",
     "StubExtractor",

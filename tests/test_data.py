@@ -207,3 +207,42 @@ class TestNativeGather:
         np.testing.assert_allclose(batch[0], embs[1])
         np.testing.assert_allclose(batch[2], embs[0])
         np.testing.assert_allclose(batch[1], 0.0)
+
+
+class TestNpySampleDataset:
+    def test_write_load_collate(self, tmp_path):
+        """HPC npy-per-sample layout round trip
+        (reference: hpc/train_distrbuted.py:62-157)."""
+        from deepearth_tpu.data import NpySampleDataset, write_npy_dataset
+
+        rng = np.random.default_rng(0)
+        samples = [
+            {
+                "id": f"s{i}",
+                "xyzt": rng.random(4),
+                "images": rng.random((3, 8, 8)),
+                "input_ids": np.arange(5) + i,
+                "modalities": {"weather": rng.random(5)},
+            }
+            for i in range(7)
+        ]
+        write_npy_dataset(str(tmp_path), "train", samples)
+        ds = NpySampleDataset(str(tmp_path), "train", cache_size=3)
+        assert len(ds) == 7
+        item = ds[2]
+        assert item["xyzt"].shape == (4,)
+        assert item["images"].shape == (3, 8, 8)
+        assert item["input_ids"].dtype == np.int32
+        np.testing.assert_allclose(
+            item["weather"], samples[2]["modalities"]["weather"], rtol=1e-6
+        )
+        # FIFO cache caps at 3 entries
+        for i in range(7):
+            ds[i]
+        assert len(ds._cache) == 3
+        # batch iteration in the framework schema
+        batch = next(ds.batch_iterator(4, modalities=("weather",), steps=1))
+        assert batch["xyzt"].shape == (4, 4)
+        assert batch["modalities"]["weather"].shape == (4, 5)
+        # max_samples truncation
+        assert len(NpySampleDataset(str(tmp_path), "train", max_samples=3)) == 3

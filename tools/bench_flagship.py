@@ -161,7 +161,7 @@ def bench_forward(results):
         "raw_s": round(t_raw, 3), "io_noop_s": round(t_noop, 3),
     }
     log(f"[flagship-fwd] {res}")
-    results["forward_full_2p9B"] = res
+    results["forward_full"] = res
     del params, batch
     return res
 
@@ -174,11 +174,15 @@ def bench_train(results):
     from deepearth_tpu.training import LossWeights, create_optimizer, make_train_step
     from deepearth_tpu.training.trainer import TrainState
 
-    B, SV, SL = 16, 4608, 16
-    # 4 experts × 1024 moe-dim keeps params ≈1.3B: bf16 params+moments+grads
-    # ≈ 10.5 GB — the 16 GB v5e ceiling with workspace. The full 8×2048
-    # preset (2.9B) needs ≥2 chips for Adam state; see dryrun_multichip.
-    cfg, model = build_model(moe_experts=4, moe_intermediate=1024)
+    # Largest single-chip trainable flagship-shaped config: 2048-d universal
+    # tokens, 12 dense fusion + 12 MoE simulator layers (the reference 'fast'
+    # simulator depth, core/inductive_simulator.py:145), 4 experts × 1024.
+    # 1.76B params → bf16 params+grads+adam moments ≈ 14 GB on the 16 GB
+    # v5e. The full 5B flagship needs ≥2 chips for Adam state — proven
+    # sharded by dryrun_multichip. Vision S=576 is the reference adapter's
+    # per-image shape (encoders/universal_encoder.py:70-137).
+    B, SV, SL = 8, 576, 16
+    cfg, model = build_model(moe_experts=4, moe_intermediate=1024, n_layers=12)
     batch = make_batch(jax.random.PRNGKey(0), B, SV, SL)
     params = model.init(jax.random.PRNGKey(1), batch)["params"]
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
