@@ -273,6 +273,7 @@ def main():
     for key, fname in (
         ("flagship", "BENCH_FLAGSHIP.json"),
         ("input_pipeline", "BENCH_E2E.json"),
+        ("multimodal", "BENCH_MULTIMODAL.json"),
     ):
         p = os.path.join(here, fname)
         if os.path.exists(p):

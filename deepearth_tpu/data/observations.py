@@ -314,3 +314,45 @@ class UnifiedDataCache:
             )
             batch["modalities"]["language"] = lang
         return batch
+
+    def batch_iterator(
+        self,
+        batch_size: int,
+        *,
+        ids: Optional[Sequence[int]] = None,
+        shuffle: bool = True,
+        seed: int = 0,
+        steps: Optional[int] = None,
+        process_shard: bool = False,
+        **batch_kwargs,
+    ):
+        """Epoch iterator over real observations → model-ready batches.
+
+        With ``process_shard`` each host iterates its contiguous id shard
+        (DistributedSampler parity, reference: hpc/train_distrbuted.py:
+        176-190). Feed through ``threaded_producer`` + ``device_prefetch``
+        to overlap mmap reads and H2D with device compute.
+        """
+        all_ids = np.asarray(
+            ids if ids is not None else self.dataset.df["gbif_id"].to_numpy()
+        )
+        if process_shard:
+            from ..parallel.mesh import process_local_batch_indices
+
+            all_ids = all_ids[process_local_batch_indices(len(all_ids))]
+        rng = np.random.default_rng(seed)
+        n_yielded = 0
+        while True:
+            order = (
+                rng.permutation(len(all_ids)) if shuffle
+                else np.arange(len(all_ids))
+            )
+            for i in range(0, len(order) - batch_size + 1, batch_size):
+                yield self.get_training_batch(
+                    all_ids[order[i : i + batch_size]], **batch_kwargs
+                )
+                n_yielded += 1
+                if steps is not None and n_yielded >= steps:
+                    return
+            if steps is None:
+                return

@@ -42,6 +42,12 @@ def parse_args():
         "--modalities", type=str, default="species",
         help="comma list from: species,weather,vision,language",
     )
+    p.add_argument(
+        "--data-dir", type=str, default=None,
+        help="real dataset directory (observations.parquet + optional "
+        "vision/language mmap stores + dataset_config.json); omit for "
+        "synthetic data",
+    )
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args()
 
@@ -100,41 +106,110 @@ def main():
     cfg.optimizer.total_steps = args.steps
     wanted = tuple(m.strip() for m in args.modalities.split(",") if m.strip())
     syn_cfg = SyntheticConfig()
-    registry = {
-        "species": ModalityConfig(
-            name="species", encoding_type="learned_embedding",
-            input_type="categorical", vocab_size=232,
-        ),
-        "weather": ModalityConfig(
-            name="weather", input_dim=syn_cfg.weather_dim, n_tokens=1,
-            encoder_layers=1, encoder_heads=4,
-        ),
-        "vision": ModalityConfig(
-            name="vision", input_dim=syn_cfg.vision_dim, n_tokens=4,
-            encoder_layers=1, encoder_heads=4,
-        ),
-        "language": ModalityConfig(
-            name="language", input_dim=syn_cfg.language_dim, n_tokens=2,
-            encoder_layers=1, encoder_heads=4,
-        ),
-    }
-    for m in wanted:
-        if m not in registry:
-            raise SystemExit(f"unknown modality {m!r}; choose from {list(registry)}")
-        cfg.add_modality(registry[m])
-    model = DeepEarthModel(cfg)
 
-    gen = SyntheticEarthDataGenerator(syn_cfg)
-    batches = device_prefetch(
-        gen.batch_iterator(args.batch_size, modalities=wanted), size=2
-    )
+    if args.data_dir:
+        # real dataset: observations.parquet + mmap embedding stores
+        # (reference training path: training/deepearth_multimodal_training.py)
+        from deepearth_tpu.data import (
+            DatasetConfig,
+            MMapEmbeddingLoader,
+            ObservationDataset,
+            UnifiedDataCache,
+        )
+        from deepearth_tpu.data.batches import threaded_producer
+
+        dcfg_path = os.path.join(args.data_dir, "dataset_config.json")
+        dcfg = (
+            DatasetConfig.from_json(dcfg_path)
+            if os.path.exists(dcfg_path)
+            else DatasetConfig()
+        )
+        ds = ObservationDataset.from_parquet(
+            os.path.join(args.data_dir, "observations.parquet")
+        )
+        loaders = {}
+        for store in ("vision", "language"):
+            base = os.path.join(args.data_dir, store)
+            if os.path.exists(base + ".bin"):
+                loaders[store] = MMapEmbeddingLoader(base)
+        cache = UnifiedDataCache(
+            ds, dcfg, loaders.get("vision"), loaders.get("language")
+        )
+        cfg.add_modality(
+            ModalityConfig(
+                name="species", encoding_type="learned_embedding",
+                input_type="categorical", vocab_size=ds.n_species,
+            )
+        )
+        if "vision" in loaders:
+            cfg.add_modality(
+                ModalityConfig(
+                    name="vision",
+                    input_dim=loaders["vision"].embedding_shape[-1],
+                    n_tokens=16, encoder_layers=1, encoder_heads=8,
+                )
+            )
+        if "language" in loaders:
+            lshape = loaders["language"].embedding_shape
+            cfg.add_modality(
+                ModalityConfig(
+                    name="language", input_dim=lshape[-1], n_tokens=4,
+                    encoder_layers=1, encoder_heads=8,
+                )
+            )
+        model = DeepEarthModel(cfg)
+
+        def make_batches():
+            return cache.batch_iterator(
+                args.batch_size, seed=args.seed,
+                steps=args.steps + 1, process_shard=args.distributed,
+            )
+
+        batches = device_prefetch(threaded_producer(make_batches), size=2)
+        first_batch = next(
+            cache.batch_iterator(args.batch_size, steps=1, shuffle=False)
+        )
+    else:
+        registry = {
+            "species": ModalityConfig(
+                name="species", encoding_type="learned_embedding",
+                input_type="categorical", vocab_size=232,
+            ),
+            "weather": ModalityConfig(
+                name="weather", input_dim=syn_cfg.weather_dim, n_tokens=1,
+                encoder_layers=1, encoder_heads=4,
+            ),
+            "vision": ModalityConfig(
+                name="vision", input_dim=syn_cfg.vision_dim, n_tokens=4,
+                encoder_layers=1, encoder_heads=4,
+            ),
+            "language": ModalityConfig(
+                name="language", input_dim=syn_cfg.language_dim, n_tokens=2,
+                encoder_layers=1, encoder_heads=4,
+            ),
+        }
+        for m in wanted:
+            if m not in registry:
+                raise SystemExit(
+                    f"unknown modality {m!r}; choose from {list(registry)}"
+                )
+            cfg.add_modality(registry[m])
+        model = DeepEarthModel(cfg)
+
+        gen = SyntheticEarthDataGenerator(syn_cfg)
+        batches = device_prefetch(
+            gen.batch_iterator(args.batch_size, modalities=wanted), size=2
+        )
+        first_batch = next(
+            gen.batch_iterator(args.batch_size, modalities=wanted, steps=1)
+        )
 
     if args.distributed:
         from deepearth_tpu.training.distributed import DistributedTrainer
 
         trainer = DistributedTrainer(model, cfg, seed=args.seed)
         state = trainer.init_state(
-            next(gen.batch_iterator(args.batch_size, modalities=wanted, steps=1))
+            first_batch
         )
         state, metrics = trainer.fit(
             state, batches, args.steps, log_every=args.log_every
@@ -145,7 +220,7 @@ def main():
             checkpoint_dir=args.checkpoint_dir, seed=args.seed,
         )
         state = trainer.init_state(
-            next(gen.batch_iterator(args.batch_size, modalities=wanted, steps=1))
+            first_batch
         )
         if args.resume and args.checkpoint_dir:
             state = trainer.restore(state)

@@ -526,3 +526,51 @@ class TestPredictRoute:
                 srv2.stop()
         finally:
             srv.stop()
+
+
+class TestRealDataTraining:
+    def test_cache_batch_iterator(self, tmp_path):
+        ds = make_dataset(40, seed=2)
+        ids = ds.df["gbif_id"].to_numpy()
+        rng = np.random.default_rng(3)
+        vis = rng.standard_normal((40, 2, 3, 3, 8)).astype(np.float32)
+        vloader = convert_arrays_to_store(str(tmp_path / "vb"), ids, vis)
+        cache = UnifiedDataCache(ds, DatasetConfig(), vloader, None)
+        batches = list(cache.batch_iterator(16, seed=1, steps=3))
+        assert len(batches) == 3
+        for b in batches:
+            assert b["xyzt"].shape == (16, 4)
+            assert b["modalities"]["vision"].shape == (16, 18, 8)
+        # deterministic given the seed
+        again = list(cache.batch_iterator(16, seed=1, steps=3))
+        np.testing.assert_array_equal(batches[0]["xyzt"], again[0]["xyzt"])
+        # epoch mode (steps=None) terminates after one pass
+        per_epoch = len(list(cache.batch_iterator(16, steps=None)))
+        assert per_epoch == 40 // 16
+
+    def test_train_cli_on_real_dataset(self, tmp_path, monkeypatch):
+        """scripts/train.py --data-dir end-to-end on a tiny real-format
+        dataset (parquet observations + mmap vision store)."""
+        import sys as _sys
+
+        ds = make_dataset(32, seed=5)
+        ds.df.to_parquet(tmp_path / "observations.parquet")
+        ids = ds.df["gbif_id"].to_numpy()
+        rng = np.random.default_rng(6)
+        vis = rng.standard_normal((32, 2, 3, 3, 8)).astype(np.float32)
+        convert_arrays_to_store(str(tmp_path / "vision"), ids, vis)
+
+        import importlib.util
+
+        spec = importlib.util.spec_from_file_location(
+            "train_cli", "scripts/train.py"
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        monkeypatch.setattr(
+            _sys, "argv",
+            ["train.py", "--data-dir", str(tmp_path), "--steps", "3",
+             "--batch-size", "8", "--hidden-dim", "64", "--n-layers", "1",
+             "--log-every", "0"],
+        )
+        mod.main()  # must run 3 real-data steps without error

@@ -175,14 +175,15 @@ def bench_train(results):
     from deepearth_tpu.training.trainer import TrainState
 
     # Largest single-chip trainable flagship-shaped config: 2048-d universal
-    # tokens, 12 dense fusion + 12 MoE simulator layers (the reference 'fast'
-    # simulator depth, core/inductive_simulator.py:145), 4 experts × 1024.
-    # 1.76B params → bf16 params+grads+adam moments ≈ 14 GB on the 16 GB
-    # v5e. The full 5B flagship needs ≥2 chips for Adam state — proven
-    # sharded by dryrun_multichip. Vision S=576 is the reference adapter's
-    # per-image shape (encoders/universal_encoder.py:70-137).
+    # tokens, 10 dense fusion + 10 MoE simulator layers, 4 experts × 1024.
+    # 1.53B params → bf16 params+grads+adam moments ≈ 12.3 GB; the
+    # 12-layer variant (14.0 GB) OOMs the 16 GB v5e once XLA workspace is
+    # added — measured, not estimated. The full 5B flagship needs ≥2 chips
+    # for Adam state; dryrun_multichip proves the sharded step. Vision
+    # S=576 is the reference adapter's per-image shape
+    # (encoders/universal_encoder.py:70-137).
     B, SV, SL = 8, 576, 16
-    cfg, model = build_model(moe_experts=4, moe_intermediate=1024, n_layers=12)
+    cfg, model = build_model(moe_experts=4, moe_intermediate=1024, n_layers=10)
     batch = make_batch(jax.random.PRNGKey(0), B, SV, SL)
     params = model.init(jax.random.PRNGKey(1), batch)["params"]
     n_params = sum(int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(params))
@@ -192,6 +193,7 @@ def bench_train(results):
         apply_fn=model.apply, params=params,
         tx=create_optimizer(cfg.optimizer),
     )
+    del params
     step = jax.jit(
         make_train_step(model, cfg, LossWeights(contrastive=0.0)),
         donate_argnums=(0,),
@@ -203,15 +205,18 @@ def bench_train(results):
 
     sync = lambda o: float(np.asarray(o[1]["loss/total"]))  # noqa: E731
 
-    def state_copy():
-        # donation invalidates buffers — each timing loop gets a fresh copy
-        return jax.tree_util.tree_map(
-            lambda x: x + 0 if hasattr(x, "dtype") else x, state
-        )
+    # flops from abstract args BEFORE allocating anything extra — a second
+    # live copy of the 12 GB train state OOMs the chip (measured)
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "dtype") else x,
+        (state, batch, jax.random.PRNGKey(0)),
+    )
+    flops = flops_of(step, *abstract)
 
-    # subtraction timing with donation: thread the state through N steps
-    def t_loop(f, reps=6):
-        s = state_copy()
+    # subtraction timing with donation: ONE state threads through both
+    # loops (donation reuses its buffers in place; never copy it)
+    def t_loop(f, s, reps=6):
         out = f(s, batch, jax.random.PRNGKey(0))
         sync(out)
         s = out[0]
@@ -222,12 +227,11 @@ def bench_train(results):
             sync(out)
             ts.append(time.perf_counter() - t0)
             s = out[0]
-        return float(np.median(sorted(ts)[: max(reps // 2, 1)]))
+        return float(np.median(sorted(ts)[: max(reps // 2, 1)])), s
 
-    t_step = t_loop(step)
-    t_noop = t_loop(noop)
+    t_step, state = t_loop(step, state)
+    t_noop, state = t_loop(noop, state)
     dt = max(t_step - t_noop, 1e-4)
-    flops = flops_of(step, state_copy(), batch, jax.random.PRNGKey(0))
     mfu = flops / dt / V5E_BF16_PEAK_FLOPS if np.isfinite(flops) else None
     res = {
         "params_b": round(n_params / 1e9, 3),

@@ -93,4 +93,11 @@ def bench_multimodal() -> dict:
 
 if __name__ == "__main__":
     out = bench_multimodal()
-    print(json.dumps({k: round(v, 1) for k, v in out.items()}))
+    payload = {k: round(v, 1) for k, v in out.items()}
+    with open(
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "BENCH_MULTIMODAL.json"),
+        "w",
+    ) as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload))

@@ -1,0 +1,102 @@
+"""Realistic-scale mmap store retrieval benchmark (VERDICT round-1 weak #10).
+
+The reference's headline numbers (71 ms single / 25 ms-per-item batch-100,
+reference: dashboard/README.md:147-151) were measured on a 206 GB store
+under production load — NOT from page cache. This tool builds a multi-GB
+store of full-size rows (8×24×24×1408 fp16 = 12.97 MB each), DROPS the page
+cache, and measures cold vs warm retrieval, so the numbers are comparable.
+
+Run (root, local disk):
+  PYTHONPATH=/root/repo python tools/bench_store_cold.py [n_rows]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VISION_SHAPE = (8, 24, 24, 1408)
+
+
+def drop_page_cache() -> bool:
+    try:
+        os.sync()
+        with open("/proc/sys/vm/drop_caches", "w") as f:
+            f.write("3\n")
+        return True
+    except (PermissionError, FileNotFoundError):
+        return False
+
+
+def main():
+    from deepearth_tpu.data.mmap_store import (
+        MMapEmbeddingLoader,
+        MMapEmbeddingWriter,
+    )
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 512  # 512 × 13 MB ≈ 6.6 GB
+    path = "/root/bench_store_cold"
+    rng = np.random.default_rng(0)
+    ids = np.arange(10_000, 10_000 + n)
+
+    if not os.path.exists(path + ".bin"):
+        t0 = time.perf_counter()
+        with MMapEmbeddingWriter(path, VISION_SHAPE, "float16") as w:
+            chunk = rng.standard_normal((8,) + VISION_SHAPE).astype(np.float16)
+            for i, oid in enumerate(ids):
+                w.add(int(oid), chunk[i % 8])
+        print(
+            f"[build] {n} rows ({n*12.97/1e3:.1f} GB) in "
+            f"{time.perf_counter()-t0:.0f}s",
+            file=sys.stderr,
+        )
+
+    results = {}
+    for label in ("cold", "warm"):
+        if label == "cold":
+            dropped = drop_page_cache()
+            if not dropped:
+                print("[cold] cannot drop page cache; skipping", file=sys.stderr)
+                continue
+        loader = MMapEmbeddingLoader(path)
+        # single retrievals at random ids
+        pick = rng.choice(ids, 24, replace=False)
+        t0 = time.perf_counter()
+        acc = 0.0
+        for oid in pick:
+            # same-dtype get() returns a zero-copy mmap view — touch the
+            # data so the timing includes the actual page reads
+            acc += float(
+                loader.get(int(oid), out_dtype=np.float16).view(np.uint16).max()
+            )
+        single_ms = (time.perf_counter() - t0) / len(pick) * 1e3
+        # batch of 100
+        pick100 = rng.choice(ids, 100, replace=False)
+        t0 = time.perf_counter()
+        loader.get_batch(pick100, out_dtype=np.float16, n_threads=4)
+        batch_ms_item = (time.perf_counter() - t0) / 100 * 1e3
+        results[label] = {
+            "single_ms": round(single_ms, 2),
+            "batch100_ms_per_item": round(batch_ms_item, 2),
+        }
+        print(f"[{label}] single {single_ms:.2f} ms  "
+              f"batch-100 {batch_ms_item:.2f} ms/item", file=sys.stderr)
+
+    results["store_gb"] = round(n * 12.97 / 1e3, 1)
+    results["reference"] = {"single_ms": 71, "batch100_ms_per_item": 25,
+                            "store_gb": 206}
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_STORE_COLD.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
