@@ -78,6 +78,9 @@ class DeepEarthValidator:
             "memory_scaling",
             "latency_throughput",
             "feature_quality",
+            "generation",
+            "moe_dispatch_modes",
+            "adaptive_splat",
         ):
             t0 = time.time()
             try:
@@ -167,6 +170,85 @@ class DeepEarthValidator:
             "frac_dead_dims": float((feats.std(0) < 1e-6).mean()),
             "finite": bool(np.isfinite(feats).all()),
         }
+
+
+    def test_generation(self):
+        """Compressed-cache decode agrees with the full causal forward and
+        generate() produces valid tokens (round 2)."""
+        from deepearth_tpu.configs import DeepSeekBlockConfig, MLAConfig
+        from deepearth_tpu.models import DeepSeekForCausalLM, generate
+
+        cfg = DeepSeekBlockConfig(
+            hidden_dim=64, n_layers=2, intermediate_size=128,
+            mla=MLAConfig(hidden_dim=64, n_heads=4, kv_lora_rank=16,
+                          qk_rope_head_dim=8, qk_nope_head_dim=16,
+                          v_head_dim=16),
+        )
+        model = DeepSeekForCausalLM(cfg, vocab_size=97, tie_embeddings=False)
+        ids = jnp.asarray([[3, 17, 42, 9]], jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)["params"]
+        full = model.apply({"params": params}, ids)
+        toks = generate(params, cfg, ids, max_new_tokens=4)
+        self.results["generation"] = {
+            "first_matches_forward_argmax": bool(
+                int(toks[0, 0]) == int(jnp.argmax(full[0, -1]))
+            ),
+            "tokens_valid": bool(
+                (np.asarray(toks) >= 0).all() and (np.asarray(toks) < 97).all()
+            ),
+        }
+        assert self.results["generation"]["first_matches_forward_argmax"]
+
+    def test_moe_dispatch_modes(self):
+        """dense einsum and scatter dispatch agree (round 2)."""
+        from deepearth_tpu.ops.moe import (
+            expert_ffn, make_dispatch_combine, moe_gate, scatter_dispatch_ffn,
+        )
+
+        rng = np.random.default_rng(0)
+        n, d, e, k, f, cap = 64, 16, 16, 2, 32, 10
+        x = jnp.asarray(rng.standard_normal((n, d)), jnp.float32)
+        logits = jnp.asarray(rng.standard_normal((n, e)), jnp.float32)
+        wg = jnp.asarray(rng.standard_normal((e, d, f)) * 0.1, jnp.float32)
+        wu = jnp.asarray(rng.standard_normal((e, d, f)) * 0.1, jnp.float32)
+        wd = jnp.asarray(rng.standard_normal((e, f, d)) * 0.1, jnp.float32)
+        res = moe_gate(logits, jnp.zeros(e), top_k=k, n_group=1, topk_group=1,
+                       norm_topk_prob=True, routed_scaling_factor=1.0)
+        disp, comb, _ = make_dispatch_combine(
+            res.topk_idx, res.topk_weight, n_experts=e, capacity=cap
+        )
+        y_dense = jnp.einsum(
+            "nec,ecd->nd", comb,
+            expert_ffn(jnp.einsum("nec,nd->ecd", disp, x), wg, wu, wd),
+        )
+        y_sc, _ = scatter_dispatch_ffn(
+            x, res.topk_idx, res.topk_weight, wg, wu, wd, cap
+        )
+        err = float(jnp.max(jnp.abs(y_sc - y_dense)))
+        self.results["moe_dispatch_modes"] = {"max_abs_diff": err}
+        assert err < 1e-4
+
+    def test_adaptive_splat(self):
+        """Densify/prune grows the scene and the fit improves (round 2)."""
+        from deepearth_tpu.reconstruction import (
+            Camera, fit_scene_adaptive, init_scene, render,
+        )
+
+        cam = Camera(rotation=jnp.eye(3), translation=jnp.asarray([0.0, 0.0, 2.0]),
+                     fx=16.0, fy=16.0, cx=8.0, cy=8.0, width=16, height=16)
+        true = init_scene(jax.random.PRNGKey(3), 6, extent=0.2)
+        true = true._replace(opacity_logits=jnp.full((6,), 2.0))
+        target = render(true, cam)
+        steps = 60 if self.quick else 180
+        scene, loss = fit_scene_adaptive(
+            target, cam, n_init=6, steps=steps, densify_every=steps // 3,
+            grad_threshold=1e-4, split_scale=0.08,
+        )
+        self.results["adaptive_splat"] = {
+            "final_gaussians": int(scene.means.shape[0]),
+            "final_loss": float(loss),
+        }
+        assert np.isfinite(loss)
 
 
 def main():
