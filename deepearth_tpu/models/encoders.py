@@ -110,6 +110,13 @@ class UniversalTokenEncoder(nn.Module):
         d = self.universal_dim
         heads = m.encoder_heads
         head_dim = max(16, d // heads // 2)
+        # Cap q_head_dim (nope + rope) at 128: the Pallas flash kernel needs
+        # head dims ≤128 or zero-padded to a multiple of 128, and padding
+        # 192→256 wastes a third of the attention FLOPs at S=4608 (measured
+        # at the 2048-d flagship). 3:1 nope:rope split preserved.
+        nope = min(head_dim, 96)
+        rope = max(8, min(head_dim // 2, 128 - nope))
+        rope -= rope % 2  # rotation acts on pairs
         return DeepSeekBlockConfig(
             hidden_dim=d,
             n_layers=m.encoder_layers,
@@ -118,9 +125,9 @@ class UniversalTokenEncoder(nn.Module):
                 hidden_dim=d,
                 n_heads=heads,
                 kv_lora_rank=max(16, d // 4),
-                qk_rope_head_dim=max(8, head_dim // 2),
-                qk_nope_head_dim=head_dim,
-                v_head_dim=head_dim,
+                qk_rope_head_dim=rope,
+                qk_nope_head_dim=nope,
+                v_head_dim=min(head_dim, 128),
                 # the 4608-patch V-JEPA2 path benefits from the flash kernel
                 use_flash_attention=True,
             ),
