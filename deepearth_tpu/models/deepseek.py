@@ -35,6 +35,35 @@ from ..ops.norms import RMSNorm
 from ..ops.rope import apply_rope_deepseek, rope_cos_sin, yarn_get_mscale
 
 
+def _flash_block_sizes(seq_len: int):
+    """Tuned tile sizes for the Pallas flash kernel.
+
+    The kernel's library defaults run the 4608-patch vision encoder's
+    attention at 9% MFU (78.7 ms at B=16·H=8·S=4608·D=128); wide k tiles
+    recover it — block_q=768 × block_k=1536 measures 10.1 ms forward
+    (138 TFLOP/s) and 29.6 ms forward+backward on v5e. Tiles must divide
+    the sequence length. 1536×1536 is slightly faster forward-only but its
+    residual-saving variant (taken under grad) needs 17.8 MB of VMEM and
+    fails to compile; 768×1536 fits both. Backward tiles are capped at 512:
+    the dq/dkv kernels hold extra accumulators per tile.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import BlockSizes
+
+    def pick(cap):
+        for b in (1536, 1152, 768, 512, 384, 256, 128):
+            if b <= cap and seq_len % b == 0:
+                return b
+        return seq_len  # short sequences: one tile
+
+    bq, bk, bwd = pick(768), pick(1536), pick(512)
+    return BlockSizes(
+        block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+        block_q_major_dkv=bwd, block_k_major_dkv=bwd,
+        block_k_dkv=bwd, block_q_dkv=bwd,
+        block_k_major_dq=bwd, block_k_dq=bwd, block_q_dq=bwd,
+    )
+
+
 class MLAttention(nn.Module):
     """Multi-head Latent Attention (reference: encoders/modeling_deepseek.py:627-856).
 
@@ -122,6 +151,8 @@ class MLAttention(nn.Module):
                 flash_attention,
             )
 
+            block_sizes = _flash_block_sizes(N)
+
             qh_pad = qh if qh <= 128 else ((qh + 127) // 128) * 128
             pad_qk = qh_pad - qh
             q_in, k_in = query, key
@@ -129,12 +160,17 @@ class MLAttention(nn.Module):
                 q_in = jnp.pad(query, ((0, 0),) * 3 + ((0, pad_qk),))
                 k_in = jnp.pad(key, ((0, 0),) * 3 + ((0, pad_qk),))
             v_pad = jnp.pad(v, ((0, 0), (0, 0), (0, 0), (0, qh_pad - vh)))
+            # Inputs stay in compute dtype: the kernel accumulates qk^T and
+            # the softmax in fp32 internally, and q/k/v values are already
+            # bf16-rounded, so an fp32 upcast adds no precision — it only
+            # costs fp32 MXU rates and 3× the q/k/v HBM traffic.
             out = flash_attention(
-                q_in.astype(jnp.float32),
-                k_in.astype(jnp.float32),
-                v_pad.astype(jnp.float32),
+                q_in,
+                k_in.astype(q_in.dtype),
+                v_pad.astype(q_in.dtype),
                 causal=is_causal,
                 sm_scale=scale,
+                block_sizes=block_sizes,
             )[..., :vh].astype(v.dtype)
         else:
             out = dot_product_attention(

@@ -170,19 +170,33 @@ def scatter_dispatch_ffn(
     e = w_gate.shape[0]
     flat_e, pos, load = position_in_expert(topk_idx, e)
     within = pos < capacity
-    pos_c = jnp.where(within, pos, 0)
+    # Assignment → slot map; dropped assignments point at a trash slot (E·C)
+    # that reads/writes a zero row. Slots are unique (pos is a queue index),
+    # so both directions are pure permutations — dispatch and combine are
+    # GATHERS, not scatter-adds: a 73728-token/4-expert dispatch measured
+    # 10 ms as a gather vs 27 ms as a row scatter-add on v5e (scatter lowers
+    # to a serialized sorted-update loop; gather rides the copy engines).
+    slot = jnp.where(within, flat_e * capacity + pos, e * capacity)
     token_of = jnp.tile(jnp.arange(n, dtype=jnp.int32), k)  # k-major rows
 
-    rows = xf[token_of] * within[:, None].astype(xf.dtype)  # (K*N, D)
-    expert_in = jnp.zeros((e, capacity, d), xf.dtype).at[flat_e, pos_c].add(
-        rows, mode="drop"
+    # Inverse permutation slot → source token (int scatter: 4 bytes/row).
+    # Unfilled capacity slots keep sentinel n → gather the zero pad row.
+    inv = jnp.full((e * capacity + 1,), n, jnp.int32).at[slot].set(
+        token_of, mode="drop"
     )
+    xf_pad = jnp.concatenate([xf, jnp.zeros((1, d), xf.dtype)], axis=0)
+    expert_in = xf_pad[inv[:-1]].reshape(e, capacity, d)
     expert_out = expert_ffn(expert_in, w_gate, w_up, w_down)  # (E, C, D)
 
-    gathered = expert_out[flat_e, pos_c]  # (K*N, D)
-    gathered = gathered * within[:, None].astype(gathered.dtype)
+    # Combine: gather each assignment's output row by slot (trash slot → 0),
+    # then sum the K copies per token — a reshape-reduce, no scatter.
+    out_pad = jnp.concatenate(
+        [expert_out.reshape(e * capacity, d), jnp.zeros((1, d), expert_out.dtype)],
+        axis=0,
+    )
+    gathered = out_pad[slot]  # (K*N, D)
     w = topk_weight.T.reshape(-1)[:, None].astype(gathered.dtype)  # k-major
-    y = jnp.zeros((n, d), xf.dtype).at[token_of].add(gathered * w, mode="drop")
+    y = (gathered * w).reshape(k, n, d).sum(axis=0).astype(xf.dtype)
     return y, load
 
 
