@@ -16,6 +16,15 @@ from .gaussian_splat import (
     reset_opacity,
 )
 from .geofusion_dataset import CameraIntrinsics, Frame, GeoFusionDataset
+from .interactive import (
+    ViewCloud,
+    apply_view_transform,
+    build_scene,
+    candidate_transforms,
+    euler_adjust_matrix,
+    render_viewer_html,
+    write_viewer,
+)
 from .visualize import (
     plot_attention_map,
     plot_observation_map,
@@ -32,6 +41,13 @@ from .point_cloud import (
 )
 
 __all__ = [
+    "ViewCloud",
+    "apply_view_transform",
+    "build_scene",
+    "candidate_transforms",
+    "euler_adjust_matrix",
+    "render_viewer_html",
+    "write_viewer",
     "densify_and_prune",
     "fit_scene_adaptive",
     "reset_opacity",

@@ -5,6 +5,8 @@ Re-implements the reference Flask dashboard surface
 Python stdlib HTTP server (flask is not in this image). Routes:
 
   GET  /                               — minimal HTML frontend over the JSON API
+  GET  /visualizer                     — interactive point-cloud alignment
+                                         viewer (reconstruction/interactive.py)
   GET  /api/config                     — dataset/runtime config
   GET  /api/progress                   — training/loading progress polling
   GET  /api/health                     — health/status
@@ -63,6 +65,7 @@ class DataService:
         config: Optional[Dict[str, Any]] = None,
         image_dir: Optional[str] = None,
         static_dir: Optional[str] = None,
+        viewer_views=None,
     ):
         """observations: columns dict with at least gbif_id, lat, lon, species
         (ints); vision/language loaders: MMapEmbeddingLoader instances;
@@ -77,6 +80,10 @@ class DataService:
         self.config = config or {}
         self.image_dir = image_dir
         self.static_dir = static_dir
+        # interactive point-cloud viewer scene (reference:
+        # reconstruction/interactive_visualizer.py — served as self-contained
+        # HTML at /visualizer instead of an open3d desktop window)
+        self.viewer_views = viewer_views
         self._start_time = time.time()
         self.request_count = 0
         # training-progress polling (reference:
@@ -546,6 +553,17 @@ def make_handler(service: DataService):
                 if not parts:  # '/' — minimal HTML frontend over the JSON API
                     return self._send_raw(
                         _INDEX_HTML.encode(), "text/html; charset=utf-8"
+                    )
+                if parts == ["visualizer"]:
+                    if service.viewer_views is None:
+                        return self._send(
+                            404, {"error": "no viewer scene configured"}
+                        )
+                    from ..reconstruction.interactive import render_viewer_html
+
+                    return self._send_raw(
+                        render_viewer_html(service.viewer_views).encode(),
+                        "text/html; charset=utf-8",
                     )
                 if parts == ["api", "config"]:
                     return self._send(200, service.config)
