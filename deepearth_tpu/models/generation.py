@@ -158,32 +158,71 @@ def generate(
         rng = jax.random.PRNGKey(0)
     # converted checkpoints arrive as numpy — device arrays required under jit
     params = jax.tree.map(jnp.asarray, params)
+    run = _get_run(cfg, max_new_tokens, max_len, temperature, top_k,
+                   jnp.dtype(cache_dtype).name)
+    return run(params, input_ids, rng)
 
-    caches = tuple(
-        init_cache(cfg.mla, B, max_len, cache_dtype)
-        for _ in range(cfg.n_layers)
+
+def _get_run(cfg, max_new_tokens, max_len, temperature, top_k, cache_dtype_name):
+    """Jitted decode loop, cached per static configuration.
+
+    Defining the jitted closure inside :func:`generate` would retrace the
+    whole n_layers × lax.scan program on EVERY call (jax.jit caches by
+    function identity); serving calls generate repeatedly, so the compiled
+    run is memoized on the static decode parameters instead. Caches are
+    created inside jit — their shapes depend only on (B, max_len), which
+    jit already keys on through input_ids.
+    """
+    import dataclasses
+    import json as _json
+
+    key = (
+        _json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str),
+        max_new_tokens, max_len, temperature, top_k, cache_dtype_name,
     )
+    cached = _RUN_CACHE.get(key)
+    if cached is not None:
+        return cached
 
-    def prefill_body(caches, tok):
-        logits, caches = causal_lm_decode_step(params, cfg, caches, tok, max_len)
-        return caches, logits
+    cache_dtype = jnp.dtype(cache_dtype_name)
 
-    def sample_body(state, rng_t):
-        caches, tok = state
-        logits, caches = causal_lm_decode_step(params, cfg, caches, tok, max_len)
-        nxt = _sample(logits, rng_t, temperature, top_k)
-        return (caches, nxt), nxt
+    def prefill_body(params):
+        def body(caches, tok):
+            logits, caches = causal_lm_decode_step(
+                params, cfg, caches, tok, max_len
+            )
+            return caches, logits
+        return body
+
+    def sample_body(params):
+        def body(state, rng_t):
+            caches, tok = state
+            logits, caches = causal_lm_decode_step(
+                params, cfg, caches, tok, max_len
+            )
+            nxt = _sample(logits, rng_t, temperature, top_k)
+            return (caches, nxt), nxt
+        return body
 
     @jax.jit
     def run(params, input_ids, rng):
+        b = input_ids.shape[0]
+        caches = tuple(
+            init_cache(cfg.mla, b, max_len, cache_dtype)
+            for _ in range(cfg.n_layers)
+        )
         caches_out, logits_seq = jax.lax.scan(
-            prefill_body, caches, input_ids.T.astype(jnp.int32)
+            prefill_body(params), caches, input_ids.T.astype(jnp.int32)
         )
         first = _sample(logits_seq[-1], rng, temperature, top_k)
         rngs = jax.random.split(rng, max_new_tokens)
         (_, _), toks = jax.lax.scan(
-            sample_body, (caches_out, first), rngs[: max_new_tokens - 1]
+            sample_body(params), (caches_out, first), rngs[: max_new_tokens - 1]
         )
         return jnp.concatenate([first[None], toks], axis=0).T  # (B, T)
 
-    return run(params, input_ids, rng)
+    _RUN_CACHE[key] = run
+    return run
+
+
+_RUN_CACHE: Dict[Any, Any] = {}
