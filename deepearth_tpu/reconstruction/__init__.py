@@ -13,6 +13,7 @@ from .gaussian_splat import (
     prune_scene,
     quat_to_rotmat,
     render,
+    render_tiled,
     reset_opacity,
 )
 from .geofusion_dataset import CameraIntrinsics, Frame, GeoFusionDataset
@@ -63,6 +64,7 @@ __all__ = [
     "prune_scene",
     "quat_to_rotmat",
     "render",
+    "render_tiled",
     "CameraIntrinsics",
     "Frame",
     "GeoFusionDataset",

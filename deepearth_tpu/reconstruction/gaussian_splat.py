@@ -120,6 +120,8 @@ def render(
 
     Dense evaluation: every Gaussian contributes to every pixel — the TPU
     trades the CUDA tile rasterizer's sparsity for big regular einsums.
+    Right choice up to ~10-50k Gaussians; beyond that use
+    :func:`render_tiled`, which recovers tile sparsity with static shapes.
     """
     xy, cov2d, depth = project_gaussians(scene, cam)
     g = scene.means.shape[0]
@@ -132,21 +134,7 @@ def render(
     opac = jax.nn.sigmoid(scene.opacity_logits[order])
     behind = depth <= 1e-4  # cull Gaussians behind the camera
 
-    # inverse 2x2 covariances
-    det = (
-        cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
-    )
-    det = jnp.maximum(det, 1e-9)
-    inv = (
-        jnp.stack(
-            [
-                jnp.stack([cov2d[:, 1, 1], -cov2d[:, 0, 1]], -1),
-                jnp.stack([-cov2d[:, 1, 0], cov2d[:, 0, 0]], -1),
-            ],
-            axis=-2,
-        )
-        / det[:, None, None]
-    )
+    inv, _ = _inverse_cov2d(cov2d)
 
     ys = jnp.arange(cam.height, dtype=jnp.float32) + 0.5
     xs = jnp.arange(cam.width, dtype=jnp.float32) + 0.5
@@ -170,6 +158,148 @@ def render(
     return img.reshape(cam.height, cam.width, 3)
 
 
+def _inverse_cov2d(cov2d: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Closed-form 2x2 inverse. Returns (inv, det)."""
+    det = cov2d[:, 0, 0] * cov2d[:, 1, 1] - cov2d[:, 0, 1] * cov2d[:, 1, 0]
+    det = jnp.maximum(det, 1e-9)
+    inv = (
+        jnp.stack(
+            [
+                jnp.stack([cov2d[:, 1, 1], -cov2d[:, 0, 1]], -1),
+                jnp.stack([-cov2d[:, 1, 0], cov2d[:, 0, 0]], -1),
+            ],
+            axis=-2,
+        )
+        / det[:, None, None]
+    )
+    return inv, det
+
+
+def render_tiled(
+    scene: GaussianScene,
+    cam: Camera,
+    background: Optional[jnp.ndarray] = None,
+    *,
+    tile_size: int = 16,
+    max_per_tile: int = 512,
+    radius_sigma: float = 3.5,
+    tile_chunk: int = 32,
+) -> jnp.ndarray:
+    """Tile-based rasterizer: the TPU analogue of the reference's CUDA tile
+    pipeline (reference: reconstruction/gaussian_splat.py:44-60 — gsplat).
+
+    The dense :func:`render` evaluates every Gaussian at every pixel, which
+    caps scenes at ~10-50k Gaussians. This version keeps every shape static
+    (jit-stable) while recovering the sparsity of a tile rasterizer:
+
+    1. one global front-to-back depth sort of all ``G`` Gaussians;
+    2. per image tile, a conservative intersection test against each
+       Gaussian's ``radius_sigma``·σ bounding box — O(T·G) compares, no
+       transcendentals;
+    3. ``lax.top_k`` over ``where(hit, -depth_rank, -inf)`` picks the
+       ``max_per_tile`` nearest intersecting Gaussians per tile in depth
+       order (static K, unfilled slots masked to α=0);
+    4. per-tile alpha compositing over K instead of G — the hot loop is
+       O(pixels·K), so total work scales with *coverage*, not scene size.
+
+    Tiles are processed in chunks of ``tile_chunk`` under ``lax.map`` to
+    bound the live (chunk, pixels, K) intermediate. Fully differentiable:
+    gradients flow through the per-tile gathers; selection indices are
+    stop-gradient by construction (argsort/top_k), exactly as the depth
+    sort already is in :func:`render`.
+
+    Gaussians contribute nothing beyond ``radius_sigma`` standard
+    deviations (exp(-0.5·3.5²) ≈ 2e-3 of peak alpha), matching gsplat's
+    cutoff semantics; results differ from :func:`render` by at most that
+    tail.
+    """
+    H, W = cam.height, cam.width
+    ts = tile_size
+    if H % ts or W % ts:
+        raise ValueError(f"image {H}x{W} not divisible by tile_size={ts}")
+    nty, ntx = H // ts, W // ts
+    n_tiles = nty * ntx
+    if n_tiles % tile_chunk:
+        # shrink the chunk to a divisor so lax.map sees equal-size chunks
+        while n_tiles % tile_chunk:
+            tile_chunk -= 1
+
+    xy, cov2d, depth = project_gaussians(scene, cam)
+    g = xy.shape[0]
+    order = jnp.argsort(depth)
+    xy, depth, cov2d = xy[order], depth[order], cov2d[order]
+    colors = jax.nn.sigmoid(scene.colors[order])
+    opac = jax.nn.sigmoid(scene.opacity_logits[order])
+    inv, _ = _inverse_cov2d(cov2d)
+
+    # conservative screen-space radius from the largest eigenvalue of cov2d
+    a, b, c = cov2d[:, 0, 0], cov2d[:, 0, 1], cov2d[:, 1, 1]
+    lam_max = 0.5 * (a + c) + jnp.sqrt(jnp.maximum(0.25 * (a - c) ** 2 + b * b, 0.0))
+    radius = radius_sigma * jnp.sqrt(jnp.maximum(lam_max, 0.0))
+    valid = depth > 1e-4
+
+    k = min(max_per_tile, g)
+    tile_iy, tile_ix = jnp.divmod(jnp.arange(n_tiles), ntx)
+    centers = jnp.stack(
+        [tile_ix * ts + ts / 2.0, tile_iy * ts + ts / 2.0], axis=-1
+    )  # (T, 2) pixel-space tile centers
+    half = ts / 2.0
+    # local pixel grid within a tile, (ts*ts, 2) offsets from the tile origin
+    lys = jnp.arange(ts, dtype=jnp.float32) + 0.5
+    lxs = jnp.arange(ts, dtype=jnp.float32) + 0.5
+    local = jnp.stack(jnp.meshgrid(lxs, lys), -1).reshape(-1, 2)  # (tp, 2) xy
+    rank = jnp.arange(g, dtype=jnp.int32)
+
+    def chunk_render(chunk):
+        ctr, origin = chunk  # (C, 2), (C, 2)
+        dxy = jnp.abs(xy[None] - ctr[:, None, :])  # (C, G, 2)
+        hit = valid[None] & jnp.all(dxy <= half + radius[None, :, None], axis=-1)
+        key = jnp.where(hit, -rank[None, :], -(g + 1))  # (C, G) int32
+        kv, kidx = jax.lax.top_k(key, k)  # front-to-back: -rank descending
+        ok = kv > -(g + 1)  # (C, K)
+
+        xyk = xy[kidx]  # (C, K, 2)
+        invk = inv[kidx]  # (C, K, 2, 2)
+        opk = jnp.where(ok, opac[kidx], 0.0)  # (C, K)
+        colk = colors[kidx]  # (C, K, 3)
+
+        px = origin[:, None, :] + local[None, :, :]  # (C, tp, 2)
+        dx = px[:, :, None, 0] - xyk[:, None, :, 0]
+        dy = px[:, :, None, 1] - xyk[:, None, :, 1]
+        maha = (
+            invk[:, None, :, 0, 0] * dx * dx
+            + 2.0 * invk[:, None, :, 0, 1] * dx * dy
+            + invk[:, None, :, 1, 1] * dy * dy
+        )  # (C, tp, K)
+        alpha = jnp.clip(opk[:, None, :] * jnp.exp(-0.5 * maha), 0.0, 0.995)
+        transmittance = jnp.cumprod(1.0 - alpha, axis=-1)
+        t_before = jnp.concatenate(
+            [jnp.ones_like(alpha[..., :1]), transmittance[..., :-1]], axis=-1
+        )
+        w = alpha * t_before  # (C, tp, K)
+        img = jnp.einsum("ctk,ckd->ctd", w, colk)  # (C, tp, 3)
+        if background is not None:
+            img = img + transmittance[..., -1:] * background[None, None, :]
+        return img
+
+    origins = jnp.stack(
+        [tile_ix * ts, tile_iy * ts], axis=-1
+    ).astype(jnp.float32)
+    n_chunks = n_tiles // tile_chunk
+    tiles = jax.lax.map(
+        chunk_render,
+        (
+            centers.reshape(n_chunks, tile_chunk, 2),
+            origins.reshape(n_chunks, tile_chunk, 2),
+        ),
+    ).reshape(n_tiles, ts, ts, 3)
+    return (
+        tiles.reshape(nty, ntx, ts, ts, 3)
+        .transpose(0, 2, 1, 3, 4)
+        .reshape(H, W, 3)
+    )
+
+
 def prune_scene(scene: GaussianScene, min_opacity: float = 0.01) -> GaussianScene:
     """Soft prune: collapse low-opacity Gaussians (static shapes: opacity→-inf
     rather than removing rows; the reference densify/prune loop resizes,
@@ -180,11 +310,15 @@ def prune_scene(scene: GaussianScene, min_opacity: float = 0.01) -> GaussianScen
     )
 
 
-def make_train_step(cam: Camera, lr: float = 1e-2):
-    """Photometric training step: MSE to a target image."""
+def make_train_step(cam: Camera, lr: float = 1e-2, renderer: str = "dense"):
+    """Photometric training step: MSE to a target image.
+
+    ``renderer='tiled'`` swaps in :func:`render_tiled` for large scenes.
+    """
     import optax
 
     tx = optax.adam(lr)
+    render_fn = render if renderer == "dense" else render_tiled
 
     def init(scene: GaussianScene):
         return tx.init(scene)
@@ -192,7 +326,7 @@ def make_train_step(cam: Camera, lr: float = 1e-2):
     @jax.jit
     def step(scene: GaussianScene, opt_state, target: jnp.ndarray):
         def loss_fn(s):
-            img = render(s, cam)
+            img = render_fn(s, cam)
             return jnp.mean((img - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(scene)
@@ -211,10 +345,11 @@ def fit_scene(
     lr: float = 2e-2,
     seed: int = 0,
     extent: float = 1.0,
+    renderer: str = "dense",
 ) -> Tuple[GaussianScene, float]:
     """Fit a scene to one target image; returns (scene, final_loss)."""
     scene = init_scene(jax.random.PRNGKey(seed), n_gaussians, extent)
-    init, step = make_train_step(cam, lr)
+    init, step = make_train_step(cam, lr, renderer=renderer)
     opt_state = init(scene)
     loss = jnp.inf
     for _ in range(steps):
@@ -315,17 +450,18 @@ def reset_opacity(scene: GaussianScene, value: float = 0.01) -> GaussianScene:
     )
 
 
-def make_train_step_with_stats(cam: Camera, lr: float = 1e-2):
+def make_train_step_with_stats(cam: Camera, lr: float = 1e-2, renderer: str = "dense"):
     """Like :func:`make_train_step` but also returns per-Gaussian position
     gradient norms (drives densification)."""
     import optax
 
     tx = optax.adam(lr)
+    render_fn = render if renderer == "dense" else render_tiled
 
     @jax.jit
     def step(scene: GaussianScene, opt_state, target: jnp.ndarray):
         def loss_fn(s):
-            img = render(s, cam)
+            img = render_fn(s, cam)
             return jnp.mean((img - target) ** 2)
 
         loss, grads = jax.value_and_grad(loss_fn)(scene)
@@ -348,6 +484,7 @@ def fit_scene_adaptive(
     seed: int = 0,
     extent: float = 1.0,
     max_gaussians: int = 50_000,
+    renderer: str = "dense",
     **densify_kw,
 ) -> Tuple[GaussianScene, float]:
     """Fit with adaptive density control: train → densify/prune → re-jit.
@@ -364,7 +501,7 @@ def fit_scene_adaptive(
     key = jax.random.PRNGKey(seed)
     key, k0 = jax.random.split(key)
     scene = init_scene(k0, n_init, extent)
-    tx, step = make_train_step_with_stats(cam, lr)
+    tx, step = make_train_step_with_stats(cam, lr, renderer=renderer)
     opt_state = tx.init(scene)
 
     grad_accum = jnp.zeros(n_init)

@@ -235,6 +235,62 @@ class TestGaussianSplat:
             f"at G={final_g}"
         )
 
+    def test_tiled_matches_dense(self):
+        """render_tiled reproduces the dense rasterizer when every
+        intersecting Gaussian fits in the per-tile budget."""
+        import jax
+        import jax.numpy as jnp
+        from deepearth_tpu.reconstruction import init_scene, render, render_tiled
+
+        cam = self._cam()
+        scene = init_scene(jax.random.PRNGKey(5), 120)
+        bg = jnp.asarray([0.2, 0.3, 0.4])
+        dense = np.asarray(render(scene, cam, bg))
+        tiled = np.asarray(
+            render_tiled(scene, cam, bg, tile_size=16, max_per_tile=120)
+        )
+        # only divergence is the radius_sigma tail cutoff (≈2e-3 of peak α)
+        np.testing.assert_allclose(tiled, dense, atol=5e-3)
+
+    def test_tiled_budget_truncation_and_errors(self):
+        import jax
+        import jax.numpy as jnp
+        from deepearth_tpu.reconstruction import init_scene, render, render_tiled
+
+        cam = self._cam()
+        scene = init_scene(jax.random.PRNGKey(6), 64)
+        bg = jnp.asarray([0.0, 0.0, 0.0])
+        # tight budget: closest-in-depth K are kept; image stays valid
+        img = np.asarray(render_tiled(scene, cam, bg, max_per_tile=8))
+        assert np.isfinite(img).all() and img.min() >= 0.0
+        with pytest.raises(ValueError):
+            render_tiled(scene, cam, tile_size=24)  # 32 % 24 != 0
+
+    def test_tiled_scales_past_dense_cap_and_trains(self):
+        """A scene far beyond the dense rasterizer's practical cap renders
+        under the tiled path, and its train step reduces loss (gradients
+        flow through the per-tile top-k gathers)."""
+        import jax
+        import jax.numpy as jnp
+        from deepearth_tpu.reconstruction import init_scene, render_tiled
+        from deepearth_tpu.reconstruction.gaussian_splat import make_train_step
+
+        cam = self._cam()
+        big = init_scene(jax.random.PRNGKey(7), 30_000, extent=1.0)
+        img = np.asarray(
+            jax.jit(lambda s: render_tiled(s, cam, max_per_tile=128))(big)
+        )
+        assert img.shape == (32, 32, 3) and np.isfinite(img).all()
+
+        target = jnp.zeros((32, 32, 3))
+        scene = init_scene(jax.random.PRNGKey(8), 512)
+        init, step = make_train_step(cam, lr=2e-2, renderer="tiled")
+        opt = init(scene)
+        scene, opt, l0 = step(scene, opt, target)
+        for _ in range(30):
+            scene, opt, loss = step(scene, opt, target)
+        assert float(loss) < float(l0)
+
 
 class TestVisualize:
     def test_all_plots_write_png(self, tmp_path):
