@@ -403,6 +403,68 @@ class TestRaggedMoE:
             np.asarray(y_dense), np.asarray(y_ragged), rtol=2e-4, atol=2e-5
         )
 
+    def test_dense_all_matches_dense_when_no_drops(self):
+        """dense_all (every token through every expert, gate-weighted) is
+        exact routing — must agree with capacity dispatch given ample
+        capacity, and with explicit-mode selection."""
+        import dataclasses
+
+        base = MoEConfig(
+            n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=32,
+            hidden_dim=32, n_shared_experts=None, capacity_factor=8.0,
+            dispatch_mode="dense",
+        )
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 32))
+        dense_mod = MoELayer(base)
+        params = dense_mod.init(jax.random.PRNGKey(1), x)
+        y_dense = dense_mod.apply(params, x, mutable=["intermediates"])[0]
+        da_mod = MoELayer(dataclasses.replace(base, dispatch_mode="dense_all"))
+        y_da, st = da_mod.apply(params, x, mutable=["intermediates"])
+        np.testing.assert_allclose(
+            np.asarray(y_dense), np.asarray(y_da), rtol=2e-4, atol=2e-5
+        )
+        # per-expert load is still reported for the balance metrics
+        load = np.asarray(st["intermediates"]["moe_load"][0])
+        assert load.sum() == 2 * 8 * 2  # N*K assignments
+
+    def test_auto_dispatch_rule(self):
+        """auto routes small-E configs (the encoder MoE in-proj shape:
+        E=4, K=2, cf=2.0) through dense_all — measured 26% faster than
+        scatter at flagship shape with exact semantics — while big-E and
+        big-activation configs keep the capacity paths."""
+        import dataclasses
+        from deepearth_tpu.models.deepseek import select_dispatch_mode
+
+        inproj = MoEConfig(
+            n_routed_experts=4, num_experts_per_tok=2,
+            moe_intermediate_size=2048, hidden_dim=2048,
+            n_shared_experts=None, capacity_factor=2.0,
+        )
+        assert select_dispatch_mode(inproj, 73728) == "dense_all"
+        # exact mode: dense_all regardless of E (memory permitting)
+        exact = dataclasses.replace(inproj, capacity_factor=None,
+                                    n_routed_experts=16)
+        assert select_dispatch_mode(exact, 4096) == "dense_all"
+        # 64-expert ultra shape: E/K far past break-even → linear scatter
+        ultra = dataclasses.replace(
+            inproj, n_routed_experts=64, moe_intermediate_size=1024
+        )
+        assert select_dispatch_mode(ultra, 73728) == "scatter"
+        # (E,S,F) over the 4 GB activation budget → fall back
+        assert select_dispatch_mode(inproj, 2 ** 19) != "dense_all"
+
+    def test_dense_all_differentiable(self):
+        cfg = MoEConfig(
+            n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=16,
+            hidden_dim=16, n_shared_experts=None, dispatch_mode="dense_all",
+        )
+        mod = MoELayer(cfg)
+        x = jax.random.normal(jax.random.PRNGKey(0), (1, 16, 16))
+        params = mod.init(jax.random.PRNGKey(1), x)
+        g = jax.grad(lambda p: jnp.sum(mod.apply(p, x) ** 2))(params)
+        gw = g["params"]["w_gate"]
+        assert np.abs(np.asarray(gw)).sum() > 0
+
     def test_ragged_differentiable(self):
         cfg = MoEConfig(
             n_routed_experts=4, num_experts_per_tok=2, moe_intermediate_size=16,
