@@ -708,3 +708,41 @@ class TestHierarchicalPositions:
         assert out["fused_representation"].shape == (2, 32)
         assert out["multi_scale_representation"].shape == (2, 64)
         assert np.isfinite(np.asarray(out["fused_representation"])).all()
+
+
+class TestExport:
+    def test_stablehlo_export_roundtrip(self):
+        """jax.export serialize → deserialize → call reproduces the forward
+        without re-tracing the model (the reference validator's
+        TorchScript/ONNX export role, reference: tests/run_tests.py)."""
+        from deepearth_tpu.configs import ModalityConfig, tiny_config
+        from deepearth_tpu.export import export_forward, load_exported
+
+        cfg = tiny_config()
+        cfg.add_modality(
+            ModalityConfig(name="vision", input_dim=32, n_tokens=2,
+                           encoder_layers=1, encoder_heads=4)
+        )
+        model = DeepEarthModel(cfg)
+        rng = jax.random.PRNGKey(0)
+        batch = {
+            "xyzt": jax.random.uniform(rng, (2, 4)),
+            "modalities": {
+                "species": jax.random.randint(rng, (2,), 0, 232),
+                "vision": jax.random.normal(rng, (2, 4, 32)),
+            },
+        }
+        params = model.init(jax.random.PRNGKey(1), batch)["params"]
+        blob = export_forward(model, params, batch)
+        assert isinstance(blob, bytes) and len(blob) > 1000
+        # compare against the same jitted program (eager CPU applies fuse
+        # bf16 ops differently; the artifact round-trip is what's under test)
+        direct = jax.jit(
+            lambda p, b: model.apply({"params": p}, b, deterministic=True)
+        )(params, batch)
+        fused, recon = load_exported(blob)(params, batch)
+        np.testing.assert_allclose(
+            np.asarray(fused),
+            np.asarray(direct["fused_representation"]), atol=1e-5,
+        )
+        assert set(recon.keys()) == set(direct["reconstructions"].keys())

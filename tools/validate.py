@@ -81,6 +81,7 @@ class DeepEarthValidator:
             "generation",
             "moe_dispatch_modes",
             "adaptive_splat",
+            "export_roundtrip",
         ):
             t0 = time.time()
             try:
@@ -249,6 +250,23 @@ class DeepEarthValidator:
             "final_loss": float(loss),
         }
         assert np.isfinite(loss)
+
+    def test_export_roundtrip(self):
+        """StableHLO export reloads and reproduces the forward (the
+        reference validator's TorchScript/ONNX role)."""
+        from deepearth_tpu.export import export_forward, load_exported
+
+        batch = make_batch(self.cfg, 2, jax.random.PRNGKey(7))
+        blob = export_forward(self.model, self.params, batch)
+        fused_direct = jax.jit(
+            lambda p, b: self.model.apply({"params": p}, b, deterministic=True)
+        )(self.params, batch)["fused_representation"]
+        fused_loaded, _ = load_exported(blob)(self.params, batch)
+        err = float(jnp.max(jnp.abs(fused_loaded - fused_direct)))
+        self.results["export_roundtrip"] = {
+            "artifact_bytes": len(blob), "max_abs_diff": err,
+        }
+        assert err < 1e-5
 
 
 def main():
