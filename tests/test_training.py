@@ -135,6 +135,38 @@ class TestTrainer:
         metrics = trainer.evaluate(state, make_iter(gen, cfg, 8, steps=2))
         assert "loss/total" in metrics
 
+    def test_grad_accumulation(self):
+        """grad_accum_steps=k holds params fixed for k-1 micro-steps, then
+        applies the averaged update (optax.MultiSteps semantics — the
+        reference's Lambda-trainer accumulation, SURVEY §2.5)."""
+        import copy
+
+        cfg = tiny_config()
+        cfg.optimizer.grad_accum_steps = 2
+        cfg.optimizer.warmup_steps = 0
+        cfg.optimizer.schedule = "constant"
+        model = DeepEarthModel(cfg)
+        gen = SyntheticEarthDataGenerator(SyntheticConfig())
+        trainer = Trainer(model, cfg, LossWeights(contrastive=0.0))
+        state = trainer.init_state(next(make_iter(gen, cfg, 4, 1)))
+        p0 = jax.tree_util.tree_leaves(state.params)
+
+        batch = next(make_iter(gen, cfg, 4, 1))
+        rng = jax.random.PRNGKey(0)
+        state1, _ = trainer.train_step(state, batch, rng)
+        p1 = jax.tree_util.tree_leaves(state1.params)
+        # first micro-step: gradients accumulated, params unchanged
+        for a, b in zip(p0, p1):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        state2, _ = trainer.train_step(state1, batch, rng)
+        p2 = jax.tree_util.tree_leaves(state2.params)
+        # second micro-step applies the averaged update
+        changed = sum(
+            float(np.abs(np.asarray(a) - np.asarray(b)).max()) > 0
+            for a, b in zip(p1, p2)
+        )
+        assert changed > len(p2) // 2, "accumulated update never applied"
+
 
 class TestMetrics:
     def test_accumulator_and_format(self):
