@@ -227,6 +227,12 @@ def select_dispatch_mode(cfg, n_tokens: int) -> str:
       small token counts, quadratic in tokens at fixed capacity factor.
     * ``scatter`` — argsort+gather dispatch, O(S·K·D): the linear path,
       required for the 64-128-expert 'ultra' preset.
+
+    The rule optimizes the single-chip case. Under an expert-parallel mesh,
+    dense_all still shards (each expert shard computes its experts over all
+    tokens, combine psums over the axis) but does E/K× the routed math —
+    for exact-mode inference at E ≫ K on an EP mesh, set
+    ``dispatch_mode='scatter'`` explicitly instead.
     """
     E, K, F = cfg.n_routed_experts, cfg.num_experts_per_tok, cfg.moe_intermediate_size
     S = n_tokens
