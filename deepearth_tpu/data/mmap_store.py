@@ -88,14 +88,52 @@ class MMapEmbeddingLoader:
             int(i): r for r, i in enumerate(self.ids)
         }
         self._mmap = np.memmap(path + ".bin", dtype=self.dtype, mode="r")
+        # direct read fd for the batch path: cold batched reads through the
+        # mmap fault path measured 60 MB/s on this box; preadv into the
+        # destination buffer runs at the raw device/host-cache rate
+        self._fd = os.open(path + ".bin", os.O_RDONLY)
         self._stats_lock = threading.Lock()
         self.stats = {"loads": 0, "total_time_s": 0.0, "misses": 0}
+
+    def close(self) -> None:
+        if getattr(self, "_fd", None) is not None:
+            try:
+                os.close(self._fd)
+            except (OSError, TypeError):  # TypeError: interpreter shutdown
+                pass
+            self._fd = None
+
+    def __del__(self):  # best-effort fd hygiene
+        try:
+            self.close()
+        except Exception:
+            pass
 
     def __len__(self) -> int:
         return len(self.ids)
 
     def __contains__(self, obs_id: int) -> bool:
         return int(obs_id) in self._id_to_row
+
+    def _willneed(self, byte_offsets: np.ndarray, row_bytes: int) -> None:
+        """madvise(WILLNEED) the rows about to be read: one kernel readahead
+        per row instead of page-fault-driven 128 KB chunks. Measured on a
+        143 MB/s virtual disk, cold 13 MB single-row reads drop from 136 ms
+        (fault-driven) to the ~91 ms raw preadv floor."""
+        mm = getattr(self._mmap, "_mmap", None)
+        if mm is None or not hasattr(mm, "madvise"):
+            return
+        import mmap as _mmap_mod
+
+        page = _mmap_mod.PAGESIZE
+        end = len(self._mmap) * self.dtype.itemsize
+        for off in np.atleast_1d(byte_offsets):
+            start = (int(off) // page) * page
+            length = min(int(off) + row_bytes, end) - start
+            try:
+                mm.madvise(_mmap_mod.MADV_WILLNEED, start, length)
+            except (ValueError, OSError):
+                return
 
     def get(self, obs_id: int, out_dtype=np.float32) -> Optional[np.ndarray]:
         t0 = time.perf_counter()
@@ -105,6 +143,7 @@ class MMapEmbeddingLoader:
                 self.stats["misses"] += 1
             return None
         off = self.offsets[row]
+        self._willneed(off * self.dtype.itemsize, self._n_elem * self.dtype.itemsize)
         arr = np.asarray(self._mmap[off : off + self._n_elem], dtype=out_dtype)
         arr = arr.reshape(self.embedding_shape)
         with self._stats_lock:
@@ -112,19 +151,60 @@ class MMapEmbeddingLoader:
             self.stats["total_time_s"] += time.perf_counter() - t0
         return arr
 
+    def _pread_rows(
+        self, byte_offsets: np.ndarray, out_rows: np.ndarray, n_threads: int
+    ) -> None:
+        """preadv each row at byte_offsets[i] into out_rows[i] (2-D uint8).
+
+        Threads only pay off when the device serves parallel queues; preadv
+        releases the GIL so a small pool is safe either way.
+        """
+        m = len(byte_offsets)
+        if self._fd is None:
+            raise ValueError("loader is closed")
+
+        def read_range(lo: int, hi: int) -> None:
+            for i in range(lo, hi):
+                got = os.preadv(
+                    self._fd, [memoryview(out_rows[i])], int(byte_offsets[i])
+                )
+                if got != out_rows.shape[1]:
+                    raise IOError(
+                        f"short read: row {i} got {got} of {out_rows.shape[1]}"
+                    )
+
+        if n_threads <= 1 or m < 4:
+            read_range(0, m)
+            return
+        k = min(n_threads, m)
+        bounds = np.linspace(0, m, k + 1).astype(int)
+        threads = [
+            threading.Thread(target=read_range, args=(bounds[j], bounds[j + 1]))
+            for j in range(k)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+
     def get_batch(
         self, obs_ids: Sequence[int], out_dtype=np.float32, n_threads: int = 4
     ) -> Tuple[np.ndarray, np.ndarray]:
-        """Fetch many embeddings at once via the native threaded gather
-        (deepearth_tpu/data/csrc/fast_gather.c; numpy fallback if no cc).
+        """Fetch many embeddings at once via threaded preadv straight into
+        the destination buffer (GIL-released kernel reads).
+
+        Batched reads deliberately bypass the mmap: gathering cold rows
+        through page faults measured ~60 MB/s on a host whose raw read rate
+        is 450+ MB/s (fault-driven readahead + single-core fault handling),
+        while per-row preadv runs at the device rate. The C threaded
+        memcpy-gather (deepearth_tpu/data/csrc/fast_gather.c) remains the
+        fallback for callers passing an externally-mapped store.
 
         Returns (batch (N, *shape), found_mask (N,) bool); missing ids yield
         zeros (the reference falls back to random embeddings on miss —
         training/deepearth_multimodal_training.py:238; zeros are
         deterministic, which tests prefer).
         """
-        from .native import gather_rows
-
         t0 = time.perf_counter()
         n = len(obs_ids)
         out_dtype = np.dtype(out_dtype)
@@ -136,18 +216,18 @@ class MMapEmbeddingLoader:
         row_bytes = self._n_elem * self.dtype.itemsize
 
         if out_dtype == self.dtype and len(hit_idx) == n:
-            # zero-copy fast path: gather straight into the output buffer
+            # fast path: read straight into the output buffer
             out = np.empty((n,) + self.embedding_shape, dtype=out_dtype)
             byte_offsets = self.offsets[rows] * self.dtype.itemsize
-            gather_rows(
-                self._mmap, byte_offsets, row_bytes, n_threads,
-                out=out.reshape(n, -1).view(np.uint8),
+            self._pread_rows(
+                byte_offsets, out.reshape(n, -1).view(np.uint8), n_threads
             )
         else:
             out = np.zeros((n,) + self.embedding_shape, dtype=out_dtype)
             if len(hit_idx):
                 byte_offsets = self.offsets[rows[hit_idx]] * self.dtype.itemsize
-                raw = gather_rows(self._mmap, byte_offsets, row_bytes, n_threads)
+                raw = np.empty((len(hit_idx), row_bytes), np.uint8)
+                self._pread_rows(byte_offsets, raw, n_threads)
                 # single-pass convert+place (no extra astype copy)
                 out[hit_idx] = raw.view(self.dtype).reshape(
                     (len(hit_idx),) + self.embedding_shape

@@ -42,7 +42,11 @@ def main():
 
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 512  # 512 × 13 MB ≈ 6.6 GB
     path = "/root/bench_store_cold"
-    rng = np.random.default_rng(0)
+    # Per-run seed: guest drop_caches cannot drop the HYPERVISOR's cache, so
+    # re-reading the same rows across runs reports host-RAM speed, not disk.
+    # Fresh random rows each run keep "cold" honest (measured: same rows
+    # 2.6-12 ms/row host-cached vs 114-133 ms genuinely cold).
+    rng = np.random.default_rng(int.from_bytes(os.urandom(8), "little"))
     ids = np.arange(10_000, 10_000 + n)
 
     if not os.path.exists(path + ".bin"):
@@ -58,6 +62,31 @@ def main():
         )
 
     results = {}
+
+    # Raw-disk floor: cold pread of row-size chunks at random offsets. The
+    # loader can't beat this; report it so store overhead is separable from
+    # the VM's disk (the reference's 71 ms was on production NVMe).
+    if drop_page_cache():
+        import mmap as _mm
+
+        row_bytes = int(np.prod(VISION_SHAPE)) * 2
+        size = os.path.getsize(path + ".bin")
+        fd = os.open(path + ".bin", os.O_RDONLY)
+        offs = rng.integers(0, max(size - row_bytes, 1), 12)
+        t0 = time.perf_counter()
+        for off in offs:
+            os.preadv(fd, [bytearray(row_bytes)], int(off))
+        os.close(fd)
+        raw_ms = (time.perf_counter() - t0) / len(offs) * 1e3
+        results["raw_disk_floor_ms_per_row"] = round(raw_ms, 2)
+        results["raw_disk_mb_per_s"] = round(row_bytes / 1e6 / (raw_ms / 1e3), 1)
+        print(f"[raw] {raw_ms:.1f} ms/row "
+              f"({results['raw_disk_mb_per_s']} MB/s)", file=sys.stderr)
+
+    # one id set for both passes: the warm pass must re-read rows the cold
+    # pass just pulled into page cache, or "warm" is cold again
+    pick = rng.choice(ids, 24, replace=False)
+    pick100 = rng.choice(ids, 100, replace=False)
     for label in ("cold", "warm"):
         if label == "cold":
             dropped = drop_page_cache()
@@ -65,8 +94,6 @@ def main():
                 print("[cold] cannot drop page cache; skipping", file=sys.stderr)
                 continue
         loader = MMapEmbeddingLoader(path)
-        # single retrievals at random ids
-        pick = rng.choice(ids, 24, replace=False)
         t0 = time.perf_counter()
         acc = 0.0
         for oid in pick:
@@ -76,8 +103,6 @@ def main():
                 loader.get(int(oid), out_dtype=np.float16).view(np.uint16).max()
             )
         single_ms = (time.perf_counter() - t0) / len(pick) * 1e3
-        # batch of 100
-        pick100 = rng.choice(ids, 100, replace=False)
         t0 = time.perf_counter()
         loader.get_batch(pick100, out_dtype=np.float16, n_threads=4)
         batch_ms_item = (time.perf_counter() - t0) / 100 * 1e3
