@@ -228,16 +228,14 @@ def dense_all_expert_ffn(
     """
     n = xf.shape[0]
     e = w_gate.shape[0]
-    gate = jnp.einsum(
-        "nd,edf->enf", xf, w_gate, preferred_element_type=jnp.float32
-    )
-    up = jnp.einsum(
-        "nd,edf->enf", xf, w_up, preferred_element_type=jnp.float32
-    )
-    h = (jax.nn.silu(gate) * up).astype(xf.dtype)
-    out = jnp.einsum(
-        "enf,efd->end", h, w_down, preferred_element_type=jnp.float32
-    ).astype(xf.dtype)
+    # Outputs stay in the compute dtype: the MXU accumulates bf16 matmuls in
+    # fp32 internally, and forcing f32 outputs materializes 2.4 GB (E,N,F)
+    # intermediates at flagship shape — measured 13.5 ms on the gate einsum
+    # alone (PROFILE_FLAGSHIP.json fusion.3635) before this change.
+    gate = jnp.einsum("nd,edf->enf", xf, w_gate)
+    up = jnp.einsum("nd,edf->enf", xf, w_up)
+    h = jax.nn.silu(gate) * up
+    out = jnp.einsum("enf,efd->end", h, w_down)
     # (N, E) dense gate weights: zeros except each token's K chosen experts
     w_dense = (
         jnp.zeros((n, e), jnp.float32)
@@ -267,16 +265,12 @@ def expert_ffn(
     Returns:
         (E, C, D)
     """
-    gate = jnp.einsum(
-        "ecd,edf->ecf", expert_in, w_gate, preferred_element_type=jnp.float32
-    )
-    up = jnp.einsum(
-        "ecd,edf->ecf", expert_in, w_up, preferred_element_type=jnp.float32
-    )
-    h = (jax.nn.silu(gate) * up).astype(expert_in.dtype)
-    return jnp.einsum(
-        "ecf,efd->ecd", h, w_down, preferred_element_type=jnp.float32
-    ).astype(expert_in.dtype)
+    # compute-dtype outputs: fp32 accumulation happens inside the MXU; f32
+    # output dtypes only add HBM traffic (see dense_all_expert_ffn)
+    gate = jnp.einsum("ecd,edf->ecf", expert_in, w_gate)
+    up = jnp.einsum("ecd,edf->ecf", expert_in, w_up)
+    h = jax.nn.silu(gate) * up
+    return jnp.einsum("ecf,efd->ecd", h, w_down)
 
 
 def load_balance_aux_loss(
