@@ -1,4 +1,4 @@
-"""Language embedding service: /embed, /tokenize, /health
+"""Language embedding service: /embed, /tokenize, /generate, /health
 (reference: encoders/language/server.py:31-50 + client.py:14).
 
 The reference serves DeepSeek-V3 embeddings (7168-d) from a llama.cpp GGUF
@@ -169,6 +169,17 @@ class LanguageEmbeddingService:
         with self._lock:
             return self.embedder.tokenize(text)
 
+    def generate(self, text: str, max_new_tokens: int = 32,
+                 temperature: float = 0.0) -> List[int]:
+        if not hasattr(self.embedder, "generate"):
+            raise ValueError(
+                f"{type(self.embedder).__name__} backend cannot generate"
+            )
+        with self._lock:
+            return self.embedder.generate(
+                text, max_new_tokens=max_new_tokens, temperature=temperature
+            )
+
     def health(self) -> Dict:
         return {
             "status": "healthy",
@@ -212,9 +223,20 @@ def make_handler(service: LanguageEmbeddingService):
                     return self._send(
                         200, {"tokens": service.tokenize(payload["text"])}
                     )
+                if self.path == "/generate":
+                    # decode via the memoized compressed-cache loop
+                    # (models/generation.py); DeepSeekFlaxEmbedder only
+                    toks = service.generate(
+                        payload["text"],
+                        max_new_tokens=int(payload.get("max_new_tokens", 32)),
+                        temperature=float(payload.get("temperature", 0.0)),
+                    )
+                    return self._send(200, {"tokens": toks})
                 return self._send(404, {"error": "unknown route"})
             except KeyError as e:
                 return self._send(400, {"error": f"missing field {e}"})
+            except ValueError as e:
+                return self._send(400, {"error": str(e)})
             except Exception as e:
                 return self._send(500, {"error": str(e)})
 
@@ -266,6 +288,14 @@ class LanguageClient:
 
     def tokenize(self, text: str) -> List[int]:
         return self._post("/tokenize", {"text": text})["tokens"]
+
+    def generate(self, text: str, max_new_tokens: int = 32,
+                 temperature: float = 0.0) -> List[int]:
+        return self._post(
+            "/generate",
+            {"text": text, "max_new_tokens": max_new_tokens,
+             "temperature": temperature},
+        )["tokens"]
 
     def health(self) -> Dict:
         import urllib.request

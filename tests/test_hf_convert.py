@@ -225,11 +225,14 @@ class TestHFConversion:
             assert not np.allclose(v1, v3)
             toks = c.tokenize("live oak")
             assert all(0 <= t < vocab for t in toks)
+            # greedy decode over HTTP through the memoized compressed-cache
+            # loop; deterministic across calls
+            out1 = c.generate("live oak", max_new_tokens=4)
+            out2 = c.generate("live oak", max_new_tokens=4)
+            assert len(out1) == 4 and all(0 <= t < vocab for t in out1)
+            assert out1 == out2
         finally:
             srv.stop()
-        # generation through the same embedder (greedy)
-        out = emb.generate("live oak", max_new_tokens=4)
-        assert len(out) == 4 and all(0 <= t < vocab for t in out)
 
     def test_cache_compression_at_v3_dims(self):
         """57× cache-ratio claim holds for real V3 dims during decode
