@@ -23,6 +23,14 @@ import numpy as np
 def main():
     import jax
 
+    if not os.environ.get("DEMO_TPU"):
+        # the demo's shapes are CPU-sized; remote TPU compiles would
+        # dominate its runtime (set DEMO_TPU=1 to run on the chip anyway)
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     from deepearth_tpu.configs import ModalityConfig, tiny_config
     from deepearth_tpu.data import (
         DatasetConfig,
