@@ -246,3 +246,48 @@ class TestHFConversion:
         )
         ratio = full_cache_bytes_per_token(v3) / cache_bytes_per_token(v3)
         assert ratio > 56.0
+
+
+class TestConvertCLI:
+    def test_convert_save_load_generate_cli(self, tiny_ref_model, tmp_path):
+        """scripts/convert_checkpoint.py + generate_cli.py end-to-end:
+        torch checkpoint file → converted dir → verified forward → decode
+        (the reference's from_pretrained+generate workflow as CLIs)."""
+        import json
+        import subprocess
+        import sys as _sys
+
+        import torch
+
+        hf_cfg, ref_model = tiny_ref_model
+        ckpt = tmp_path / "model.pt"
+        torch.save(ref_model.state_dict(), ckpt)
+        cfg_json = tmp_path / "config.json"
+        cfg_json.write_text(json.dumps(hf_cfg.to_dict()))
+        out_dir = tmp_path / "converted"
+
+        env = dict(__import__("os").environ, JAX_PLATFORMS="cpu")
+        r = subprocess.run(
+            [_sys.executable, "scripts/convert_checkpoint.py", str(ckpt),
+             str(out_dir), "--config", str(cfg_json), "--verify"],
+            capture_output=True, text=True, timeout=600, env=env,
+            cwd="/root/repo",
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        assert "verify OK" in r.stdout
+
+        # generate path in-process (a second cold subprocess would double
+        # the test's wall time for no extra coverage): converted-dir load +
+        # hash tokenizer + decode, exactly what generate_cli.py wires up
+        _sys.path.insert(0, "/root/repo/scripts")
+        from convert_checkpoint import load_converted
+        from deepearth_tpu.serving.language_server import HashEmbedder
+
+        params, cfg2, vocab2 = load_converted(str(out_dir))
+        assert vocab2 == 97 and cfg2.n_layers == 3
+        ids = [t % vocab2 for t in HashEmbedder().tokenize("live oak")]
+        toks = generate(
+            params, cfg2, jnp.asarray([ids], jnp.int32), max_new_tokens=5
+        )
+        toks = np.asarray(toks)[0]
+        assert toks.shape == (5,) and (0 <= toks).all() and (toks < 97).all()
