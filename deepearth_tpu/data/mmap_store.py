@@ -178,14 +178,24 @@ class MMapEmbeddingLoader:
             return
         k = min(n_threads, m)
         bounds = np.linspace(0, m, k + 1).astype(int)
+        errors: list = []
+
+        def guarded(lo: int, hi: int) -> None:
+            try:
+                read_range(lo, hi)
+            except BaseException as e:  # propagate to the caller, not stderr
+                errors.append(e)
+
         threads = [
-            threading.Thread(target=read_range, args=(bounds[j], bounds[j + 1]))
+            threading.Thread(target=guarded, args=(bounds[j], bounds[j + 1]))
             for j in range(k)
         ]
         for t in threads:
             t.start()
         for t in threads:
             t.join()
+        if errors:
+            raise errors[0]
 
     def get_batch(
         self, obs_ids: Sequence[int], out_dtype=np.float32, n_threads: int = 4
