@@ -1,6 +1,7 @@
 """DistributedTrainer tests on the virtual 8-device CPU mesh."""
 
 import dataclasses
+import os
 
 import jax
 import jax.numpy as jnp
@@ -236,3 +237,51 @@ class TestShardedPrefetch:
         # sharded over the data axis
         assert "data" in str(x.sharding.spec)
         assert np.isfinite(np.asarray(x)).all()
+
+
+class TestRealMultiProcess:
+    def test_two_process_equivalence(self):
+        """REAL multi-process SPMD (two OS processes, Gloo collectives,
+        env:// rendezvous — the scripts/launch_pod.sh path), not just the
+        single-process virtual mesh: both processes must agree, and must
+        match this process's single-host 8-device run of the identical
+        recipe (same config, seed, batch) to fp tolerance."""
+        import subprocess
+        import sys as _sys
+
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        for var in ("MASTER_ADDR", "MASTER_PORT", "WORLD_SIZE", "RANK"):
+            env.pop(var, None)
+        procs = [
+            subprocess.Popen(
+                [_sys.executable, "tests/multiprocess_worker.py", str(i), "2",
+                 "12391"],
+                stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+                cwd="/root/repo", env=env,
+            )
+            for i in range(2)
+        ]
+        outs = [p.communicate(timeout=600)[0] for p in procs]
+        losses = []
+        for i, out in enumerate(outs):
+            assert procs[i].returncode == 0, out[-3000:]
+            line = [l for l in out.splitlines() if l.startswith("RESULT")]
+            assert line, out[-3000:]
+            losses.append(float(line[0].split()[1]))
+        assert losses[0] == losses[1], losses
+
+        # single-process reference: same recipe on this process's 8 devices
+        cfg = dp_ep_tp_config()
+        model = DeepEarthModel(cfg)
+        trainer = DistributedTrainer(
+            model, cfg, LossWeights(contrastive=0.0),
+            mesh=create_mesh(jax.devices()[:8]), seed=0,
+        )
+        batch = make_batch(16)
+        state = trainer.init_state(batch)
+        metrics = None
+        for _ in range(2):
+            state, metrics = trainer.step(state, batch)
+        ref = float(np.asarray(metrics["loss/total"]))
+        assert abs(ref - losses[0]) < 1e-5, (ref, losses[0])
