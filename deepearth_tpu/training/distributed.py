@@ -189,9 +189,40 @@ class DistributedTrainer:
             lambda x, s: jax.device_put(x, s), batch, self._batch_shardings
         )
 
-    def step(self, state: TrainState, batch: Dict[str, Any]):
+    def shard_batch_from_local(
+        self, local_batch: Dict[str, Any], global_batch_size: int
+    ):
+        """Assemble the global sharded batch from THIS process's shard only.
+
+        The multi-host input path: each host loads just its
+        ``process_local_batch_indices`` rows (DistributedSampler parity,
+        reference: hpc/train_distrbuted.py:176-190) and contributes them via
+        ``jax.make_array_from_process_local_data`` — no host ever holds the
+        full global batch. Row order is the concatenation of process shards
+        in process_index order.
+        """
+        import numpy as np
+
+        def put(x, s):
+            x = np.asarray(x)
+            return jax.make_array_from_process_local_data(
+                s, x, (global_batch_size,) + x.shape[1:]
+            )
+
+        return jax.tree_util.tree_map(put, local_batch, self._batch_shardings)
+
+    def step(self, state: TrainState, batch: Dict[str, Any], *,
+             local_of: Optional[int] = None):
+        """One train step. With ``local_of=N``, ``batch`` is this process's
+        local shard of a global batch of N rows; otherwise it is the full
+        (replicated-on-host) batch."""
         self.rng, k = jax.random.split(self.rng)
-        return self._step_fn(state, self.shard_batch(batch), k)
+        sharded = (
+            self.shard_batch_from_local(batch, local_of)
+            if local_of is not None
+            else self.shard_batch(batch)
+        )
+        return self._step_fn(state, sharded, k)
 
     def save(self, state: TrainState, step: int) -> None:
         """Sharded orbax save: arrays keep their mesh shardings on disk

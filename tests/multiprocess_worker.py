@@ -44,15 +44,37 @@ from deepearth_tpu.models import DeepEarthModel  # noqa: E402
 from deepearth_tpu.parallel import create_mesh  # noqa: E402
 from deepearth_tpu.training import LossWeights  # noqa: E402
 
+from deepearth_tpu.parallel.mesh import process_local_batch_indices  # noqa: E402
+
 cfg = dp_ep_tp_config()
 model = DeepEarthModel(cfg)
 trainer = DistributedTrainer(
     model, cfg, LossWeights(contrastive=0.0), mesh=create_mesh(jax.devices()),
     seed=0,
 )
-batch = make_batch(16)  # deterministic (PRNGKey(0)) on every process
+B = 16
+batch = make_batch(B)  # deterministic (PRNGKey(0)) on every process
 state = trainer.init_state(batch)
 metrics = None
 for _ in range(2):
     state, metrics = trainer.step(state, batch)
 print(f"RESULT {float(np.asarray(metrics['loss/total'])):.6f}", flush=True)
+
+# Same two steps again, but each process contributes ONLY its local rows
+# (the production multi-host input path) — must reproduce the replicated
+# feed exactly.
+idx = process_local_batch_indices(B)
+local = {
+    "xyzt": np.asarray(batch["xyzt"])[idx],
+    "modalities": {
+        k: np.asarray(v)[idx] for k, v in batch["modalities"].items()
+    },
+}
+trainer2 = DistributedTrainer(
+    model, cfg, LossWeights(contrastive=0.0), mesh=create_mesh(jax.devices()),
+    seed=0,
+)
+state2 = trainer2.init_state(batch)
+for _ in range(2):
+    state2, metrics2 = trainer2.step(state2, local, local_of=B)
+print(f"RESULT2 {float(np.asarray(metrics2['loss/total'])):.6f}", flush=True)

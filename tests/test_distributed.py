@@ -263,13 +263,20 @@ class TestRealMultiProcess:
             for i in range(2)
         ]
         outs = [p.communicate(timeout=600)[0] for p in procs]
-        losses = []
+        losses, local_losses = [], []
         for i, out in enumerate(outs):
             assert procs[i].returncode == 0, out[-3000:]
-            line = [l for l in out.splitlines() if l.startswith("RESULT")]
-            assert line, out[-3000:]
+            line = [l for l in out.splitlines() if l.startswith("RESULT ")]
+            line2 = [l for l in out.splitlines() if l.startswith("RESULT2 ")]
+            assert line and line2, out[-3000:]
             losses.append(float(line[0].split()[1]))
+            local_losses.append(float(line2[0].split()[1]))
         assert losses[0] == losses[1], losses
+        # per-process local-shard feed (make_array_from_process_local_data)
+        # reproduces the replicated feed exactly
+        assert local_losses[0] == local_losses[1] == losses[0], (
+            losses, local_losses
+        )
 
         # single-process reference: same recipe on this process's 8 devices
         cfg = dp_ep_tp_config()
