@@ -70,11 +70,26 @@ local = {
         k: np.asarray(v)[idx] for k, v in batch["modalities"].items()
     },
 }
+ckpt_dir = sys.argv[4] if len(sys.argv) > 4 else None
 trainer2 = DistributedTrainer(
     model, cfg, LossWeights(contrastive=0.0), mesh=create_mesh(jax.devices()),
-    seed=0,
+    seed=0, checkpoint_dir=ckpt_dir,
 )
 state2 = trainer2.init_state(batch)
 for _ in range(2):
     state2, metrics2 = trainer2.step(state2, local, local_of=B)
 print(f"RESULT2 {float(np.asarray(metrics2['loss/total'])):.6f}", flush=True)
+
+if ckpt_dir:
+    # multi-process sharded checkpoint: every process writes its shards
+    # (orbax coordinates through the initialized distributed runtime),
+    # then a FRESH trainer restores into the sharded state and resumes
+    trainer2.save(state2, 2)
+    trainer3 = DistributedTrainer(
+        model, cfg, LossWeights(contrastive=0.0),
+        mesh=create_mesh(jax.devices()), seed=0, checkpoint_dir=ckpt_dir,
+    )
+    state3 = trainer3.init_state(batch)
+    state3 = trainer3.restore(state3)
+    state3, metrics3 = trainer3.step(state3, local, local_of=B)
+    print(f"RESULT3 {float(np.asarray(metrics3['loss/total'])):.6f}", flush=True)

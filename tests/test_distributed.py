@@ -253,10 +253,13 @@ class TestRealMultiProcess:
         env.pop("XLA_FLAGS", None)
         for var in ("MASTER_ADDR", "MASTER_PORT", "WORLD_SIZE", "RANK"):
             env.pop(var, None)
+        import tempfile
+
+        ckpt = tempfile.mkdtemp(prefix="mp_ckpt_")
         procs = [
             subprocess.Popen(
                 [_sys.executable, "tests/multiprocess_worker.py", str(i), "2",
-                 "12391"],
+                 "12391", ckpt],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
                 cwd="/root/repo", env=env,
             )
@@ -277,6 +280,14 @@ class TestRealMultiProcess:
         assert local_losses[0] == local_losses[1] == losses[0], (
             losses, local_losses
         )
+        # multi-process sharded save -> fresh-trainer restore -> resume:
+        # the post-resume step must agree across processes
+        resumed = []
+        for out in outs:
+            line3 = [l for l in out.splitlines() if l.startswith("RESULT3 ")]
+            assert line3, out[-3000:]
+            resumed.append(float(line3[0].split()[1]))
+        assert resumed[0] == resumed[1] and np.isfinite(resumed[0]), resumed
 
         # single-process reference: same recipe on this process's 8 devices
         cfg = dp_ep_tp_config()
