@@ -55,7 +55,10 @@ def parse_device_lane(trace_dir: str):
             continue
         name = e.get("name", "?")
         dur_ms = e.get("dur", 0) / 1e3
-        if name.startswith("jit_"):  # module-level envelope, not an op
+        # skip computation ENVELOPES, which contain the leaf ops and would
+        # double-count: the jit module frame and the numeric-named
+        # while/scan/remat body frames
+        if name.startswith("jit_") or name.replace(".", "").isdigit():
             continue
         agg[name][0] += dur_ms
         agg[name][1] += 1
@@ -63,17 +66,9 @@ def parse_device_lane(trace_dir: str):
     return total, agg
 
 
-def main():
-    import jax
-
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.join(os.path.dirname(OUT), ".jax_cache")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    sys.path.insert(0, os.path.join(os.path.dirname(OUT), "tools"))
+def profile_forward(jax):
     from bench_flagship import build_model, make_batch
 
-    log(f"devices: {jax.devices()}")
     B, SV, SL = 16, 4608, 16
     cfg, model = build_model()
     batch = make_batch(jax.random.PRNGKey(0), B, SV, SL)
@@ -89,6 +84,59 @@ def main():
             for _ in range(reps):
                 float(np.asarray(fwd(params, batch)))
         total, agg = parse_device_lane(td)
+    return "flagship 5.04B forward, batch 16", reps, total, agg
+
+
+def profile_train(jax):
+    """1.53B train step at batch 8 — the fixed-cost decomposition's ground
+    truth: optimizer/elementwise fusions over the 12 GB state should show
+    a large batch-independent share."""
+    from bench_flagship import build_model, make_batch
+    from deepearth_tpu.training import LossWeights, create_optimizer, make_train_step
+    from deepearth_tpu.training.trainer import TrainState
+
+    B, SV, SL = 8, 576, 16
+    cfg, model = build_model(moe_experts=4, moe_intermediate=1024, n_layers=10)
+    batch = make_batch(jax.random.PRNGKey(0), B, SV, SL)
+    params = model.init(jax.random.PRNGKey(1), batch)["params"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=create_optimizer(cfg.optimizer)
+    )
+    del params
+    step = jax.jit(
+        make_train_step(model, cfg, LossWeights(contrastive=0.0)),
+        donate_argnums=(0,),
+    )
+
+    def run(s):
+        out = step(s, batch, jax.random.PRNGKey(0))
+        float(np.asarray(out[1]["loss/total"]))
+        return out[0]
+
+    state = run(state)  # compile + warm
+    reps = 3
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                state = run(state)
+        total, agg = parse_device_lane(td)
+    return "1.53B train step, batch 8", reps, total, agg
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(os.path.dirname(OUT), ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    sys.path.insert(0, os.path.join(os.path.dirname(OUT), "tools"))
+
+    log(f"devices: {jax.devices()}")
+    which = sys.argv[1] if len(sys.argv) > 1 else "forward"
+    what, reps, total, agg = (
+        profile_train(jax) if which == "train" else profile_forward(jax)
+    )
 
     rows = sorted(
         (
@@ -99,16 +147,21 @@ def main():
         key=lambda r: -r["total_ms"],
     )
     result = {
-        "what": "flagship 5.04B forward, batch 16, per-op device time "
-                "(jax.profiler, averaged over 3 reps)",
-        "device_total_ms_per_fwd": round(total / reps, 2),
+        "what": f"{what}, per-op device time (jax.profiler, avg of {reps})",
+        "device_total_ms": round(total / reps, 2),
         "top_ops": rows[:30],
         "n_distinct_ops": len(rows),
     }
-    with open(OUT, "w") as f:
+    out_path = OUT if which == "forward" else OUT.replace(
+        "PROFILE_FLAGSHIP", "PROFILE_TRAIN"
+    )
+    # keep the forward artifact's historical field name
+    if which == "forward":
+        result["device_total_ms_per_fwd"] = result["device_total_ms"]
+    with open(out_path, "w") as f:
         json.dump(result, f, indent=2)
-    log(f"wrote {OUT}: device total {result['device_total_ms_per_fwd']} ms/fwd")
-    print(json.dumps({"device_total_ms_per_fwd": result["device_total_ms_per_fwd"],
+    log(f"wrote {out_path}: device total {result['device_total_ms']} ms")
+    print(json.dumps({"device_total_ms": result["device_total_ms"],
                       "top5": rows[:5]}))
 
 
