@@ -240,6 +240,7 @@ class TestShardedPrefetch:
 
 
 class TestRealMultiProcess:
+    @pytest.mark.slow
     def test_two_process_equivalence(self):
         """REAL multi-process SPMD (two OS processes, Gloo collectives,
         env:// rendezvous — the scripts/launch_pod.sh path), not just the

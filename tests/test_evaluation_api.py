@@ -191,6 +191,7 @@ class TestFileLoaders:
 
 
 class TestShardedExtraction:
+    @pytest.mark.slow
     def test_extract_and_merge(self, tmp_path):
         """Sharded extraction driver end-to-end (reference:
         encoders/vision/run_parallel_extraction.sh)."""

@@ -249,6 +249,7 @@ class TestHFConversion:
 
 
 class TestConvertCLI:
+    @pytest.mark.slow
     def test_convert_save_load_generate_cli(self, tiny_ref_model, tmp_path):
         """scripts/convert_checkpoint.py + generate_cli.py end-to-end:
         torch checkpoint file → converted dir → verified forward → decode

@@ -201,6 +201,7 @@ class TestGaussianSplat:
         r = reset_opacity(new, 0.01)
         assert float(jax.nn.sigmoid(r.opacity_logits).max()) <= 0.0101
 
+    @pytest.mark.slow
     def test_densification_beats_fixed_count(self):
         """Adaptive density control reaches a better fit than a fixed-count
         scene with the same FINAL Gaussian budget (VERDICT round-1 item 8;

@@ -548,6 +548,7 @@ class TestRealDataTraining:
         per_epoch = len(list(cache.batch_iterator(16, steps=None)))
         assert per_epoch == 40 // 16
 
+    @pytest.mark.slow
     def test_train_cli_on_real_dataset(self, tmp_path, monkeypatch):
         """scripts/train.py --data-dir end-to-end on a tiny real-format
         dataset (parquet observations + mmap vision store)."""
