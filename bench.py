@@ -38,15 +38,15 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_ours() -> dict:
+def build_astack(batch_size: int = BATCH):
+    """A-stack model + deterministic batch at reference scale (also used by
+    tools/profile_flagship.py astack mode)."""
     import jax
     import jax.numpy as jnp
 
-    from deepearth_tpu.configs import tiny_config, Grid4DConfig, TransformerConfig
+    from deepearth_tpu.configs import Grid4DConfig, TransformerConfig
     from deepearth_tpu.configs import DeepEarthConfig, ModalityConfig
     from deepearth_tpu.models import DeepEarthModel
-    from deepearth_tpu.training import LossWeights, create_optimizer, make_train_step
-    from deepearth_tpu.training.trainer import TrainState
 
     cfg = DeepEarthConfig(
         hidden_dim=768,
@@ -68,12 +68,24 @@ def bench_ours() -> dict:
         )
     )
     model = DeepEarthModel(cfg)
-
     rng = jax.random.PRNGKey(0)
     batch = {
-        "xyzt": jax.random.uniform(rng, (BATCH, 4)),
-        "modalities": {"species": jax.random.randint(rng, (BATCH,), 0, 232)},
+        "xyzt": jax.random.uniform(rng, (batch_size, 4)),
+        "modalities": {
+            "species": jax.random.randint(rng, (batch_size,), 0, 232)
+        },
     }
+    return cfg, model, batch
+
+
+def bench_ours() -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from deepearth_tpu.training import LossWeights, create_optimizer, make_train_step
+    from deepearth_tpu.training.trainer import TrainState
+
+    cfg, model, batch = build_astack()
     params = model.init(jax.random.PRNGKey(1), batch)["params"]
     n_params = sum(np.prod(l.shape) for l in jax.tree_util.tree_leaves(params))
     log(f"[ours] params: {n_params/1e6:.1f}M, devices: {jax.devices()}")
@@ -82,56 +94,75 @@ def bench_ours() -> dict:
     state = TrainState.create(apply_fn=model.apply, params=params, tx=tx)
     train_step = make_train_step(model, cfg, LossWeights(contrastive=0.0))
 
-    # Timing methodology: the execution tunnel ships input buffers per call,
-    # so raw per-call wall time measures the relay, not the chip. The scan-
-    # of-steps trick would amortize that, but the remote compile helper
-    # rejects large scanned programs. Instead: time the real step and a
-    # no-op program with the SAME input/output signature (same uploads,
-    # same downloads), both host-synced, and subtract.
-    step = jax.jit(train_step)
+    # Timing methodology (chained-slope): single-call noop-subtraction
+    # differences two ~50 ms tunnel round trips to estimate a ~20 ms
+    # quantity — its jitter produced both 9 ms and 16 ms for a step the
+    # profiler's device trace pins at 20.9 ms busy. Instead, enqueue K
+    # async steps (distinct pre-staged device batches, state threaded with
+    # donation), sync once, and take the slope between K=8 and K=24 — the
+    # per-call host floor cancels exactly. Cross-validated: slope 21.7 ms
+    # vs 20.9 ms profiler busy-sum (PROFILE_ASTACK.json).
+    step = jax.jit(train_step, donate_argnums=(0,))
 
-    def _sync(out):
-        return float(np.asarray(out[1]["loss/total"]))
+    batches = []
+    for i in range(8):
+        k = jax.random.PRNGKey(100 + i)
+        b = {
+            "xyzt": jax.random.uniform(k, (BATCH, 4)),
+            "modalities": {
+                "species": jax.random.randint(k, (BATCH,), 0, 232)
+            },
+        }
+        b = jax.tree_util.tree_map(jax.device_put, b)
+        jax.block_until_ready(b["xyzt"])
+        batches.append(b)
 
-    noop = jax.jit(
-        lambda st, b, k: (st, {"loss/total": b["xyzt"].sum() + k[0]})
-    )
+    def chain(s, n):
+        m = None
+        for i in range(n):
+            s, m = step(s, batches[i % 8], jax.random.PRNGKey(i))
+        float(np.asarray(m["loss/total"]))
+        return s
 
-    def timed(fn, reps=6):
-        _sync(fn(state, batch, jax.random.PRNGKey(0)))  # compile
-        times = []
-        for i in range(reps):
-            t0 = time.perf_counter()
-            _sync(fn(state, batch, jax.random.PRNGKey(i)))
-            times.append(time.perf_counter() - t0)
-        # median of the faster half: robust to tunnel jitter spikes
-        return float(np.median(sorted(times)[: max(reps // 2, 1)]))
+    state = chain(state, 1)  # compile + warm
 
-    t_step = timed(step)
-    t_noop = timed(noop)
-    step_s = max(t_step - t_noop, 1e-4)
-    log(
-        f"[ours] step {t_step:.2f}s  noop(io-only) {t_noop:.2f}s  "
-        f"→ device step {step_s*1000:.1f} ms"
-    )
+    def slope(lo, hi, reps=4):
+        nonlocal state
+        t = {}
+        for n in (lo, hi):
+            ts = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                state = chain(state, n)
+                ts.append(time.perf_counter() - t0)
+            t[n] = float(np.median(ts))
+        return max((t[hi] - t[lo]) / (hi - lo), 1e-4)
+
+    step_s = slope(8, 24)
+    log(f"[ours] chained-slope device step {step_s*1000:.1f} ms")
     obs_per_s = BATCH / step_s
 
-    # forward latency, same subtraction method
+    # forward latency: same slope estimator over stateless forwards
     fwd = jax.jit(
         lambda p, b: model.apply({"params": p}, b)["fused_representation"].sum()
     )
-    fwd_noop = jax.jit(lambda p, b: b["xyzt"].sum())
 
-    def timed_f(fn, reps=6):
-        float(np.asarray(fn(state.params, batch)))
+    def fwd_chain(n):
+        acc = None
+        for i in range(n):
+            acc = fwd(state.params, batches[i % 8])
+        float(np.asarray(acc))
+
+    fwd_chain(1)
+    tf = {}
+    for n in (8, 24):
         ts = []
-        for _ in range(reps):
+        for _ in range(4):
             t0 = time.perf_counter()
-            float(np.asarray(fn(state.params, batch)))
+            fwd_chain(n)
             ts.append(time.perf_counter() - t0)
-        return float(np.median(sorted(ts)[: max(reps // 2, 1)]))
-
-    p50 = max(timed_f(fwd) - timed_f(fwd_noop), 1e-4) * 1000.0
+        tf[n] = float(np.median(ts))
+    p50 = max((tf[24] - tf[8]) / 16, 1e-4) * 1000.0
     log(f"[ours] train obs/s: {obs_per_s:.1f}  fwd p50: {p50:.2f} ms/batch")
     return {"obs_per_s": obs_per_s, "p50_forward_ms": p50}
 

@@ -77,17 +77,46 @@ def bench_multimodal() -> dict:
         make_train_step(model, cfg, LossWeights(contrastive=0.1)),
         donate_argnums=(0,),
     )
-    for i in range(3):
-        state, metrics = step(state, batch, jax.random.PRNGKey(i))
-    jax.block_until_ready(metrics["loss/total"])
-    t0 = time.perf_counter()
-    n = 15
-    for i in range(n):
-        state, metrics = step(state, batch, jax.random.PRNGKey(100 + i))
-    jax.block_until_ready(metrics["loss/total"])
-    obs_per_s = b * n / (time.perf_counter() - t0)
-    log(f"[ours multimodal] train obs/s: {obs_per_s:.1f}")
-    return {"multimodal_obs_per_s": obs_per_s}
+
+    # chained-slope methodology (see bench.py): distinct pre-staged device
+    # batches, K async steps per host sync (a forced transfer —
+    # block_until_ready can return early over the tunnel), slope between
+    # K=8 and K=24 cancels the per-call host floor exactly
+    batches = []
+    for i in range(8):
+        k = jax.random.PRNGKey(100 + i)
+        bb = {
+            "xyzt": jax.random.uniform(k, (b, 4)),
+            "modalities": {
+                "species": jax.random.randint(k, (b,), 0, 232),
+                "vision": jax.random.normal(k, (b, 16, 1408), jnp.bfloat16),
+                "language": jax.random.normal(k, (b, 7168), jnp.bfloat16),
+            },
+        }
+        bb = jax.tree_util.tree_map(jax.device_put, bb)
+        jax.block_until_ready(bb["xyzt"])
+        batches.append(bb)
+
+    def chain(s, n):
+        m = None
+        for i in range(n):
+            s, m = step(s, batches[i % 8], jax.random.PRNGKey(i))
+        float(np.asarray(m["loss/total"]))
+        return s
+
+    state = chain(state, 1)  # compile + warm
+    t = {}
+    for n in (8, 24):
+        ts = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            state = chain(state, n)
+            ts.append(time.perf_counter() - t0)
+        t[n] = float(np.median(ts))
+    step_s = max((t[24] - t[8]) / 16, 1e-5)
+    obs_per_s = b / step_s
+    log(f"[ours multimodal] step {step_s*1e3:.2f} ms  train obs/s: {obs_per_s:.1f}")
+    return {"multimodal_obs_per_s": obs_per_s, "step_ms": step_s * 1e3}
 
 
 

@@ -48,6 +48,7 @@ def parse_device_lane(trace_dir: str):
     }
     agg = collections.defaultdict(lambda: [0.0, 0])
     total = 0.0
+    t_min, t_max = float("inf"), 0.0
     for e in t["traceEvents"]:
         if e.get("ph") != "X" or not str(pids.get(e["pid"], "")).startswith(
             "/device:"
@@ -55,6 +56,9 @@ def parse_device_lane(trace_dir: str):
             continue
         name = e.get("name", "?")
         dur_ms = e.get("dur", 0) / 1e3
+        ts = e.get("ts", 0) / 1e3
+        t_min = min(t_min, ts)
+        t_max = max(t_max, ts + dur_ms)
         # skip computation ENVELOPES, which contain the leaf ops and would
         # double-count: the jit module frame and the numeric-named
         # while/scan/remat body frames
@@ -63,7 +67,10 @@ def parse_device_lane(trace_dir: str):
         agg[name][0] += dur_ms
         agg[name][1] += 1
         total += dur_ms
-    return total, agg
+    # busy-sum can EXCEED wall when DMA queues overlap compute (gather-heavy
+    # programs) — report the device-lane span too so both are visible
+    span = (t_max - t_min) if t_max > 0 else 0.0
+    return total, span, agg
 
 
 def profile_forward(jax):
@@ -83,8 +90,8 @@ def profile_forward(jax):
         with jax.profiler.trace(td):
             for _ in range(reps):
                 float(np.asarray(fwd(params, batch)))
-        total, agg = parse_device_lane(td)
-    return "flagship 5.04B forward, batch 16", reps, total, agg
+        total, span, agg = parse_device_lane(td)
+    return "flagship 5.04B forward, batch 16", reps, total, span, agg
 
 
 def profile_train(jax):
@@ -119,8 +126,38 @@ def profile_train(jax):
         with jax.profiler.trace(td):
             for _ in range(reps):
                 state = run(state)
-        total, agg = parse_device_lane(td)
-    return "1.53B train step, batch 8", reps, total, agg
+        total, span, agg = parse_device_lane(td)
+    return "1.53B train step, batch 8", reps, total, span, agg
+
+
+def profile_astack(jax):
+    """The driver bench's A-stack train step (batch 256, 2^19 tables):
+    validates the 'gather-bound' claim for the hash-encoder path."""
+    from bench import build_astack
+    from deepearth_tpu.training import LossWeights, create_optimizer, make_train_step
+    from deepearth_tpu.training.trainer import TrainState
+
+    cfg, model, batch = build_astack()
+    params = model.init(jax.random.PRNGKey(1), batch)["params"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=params,
+        tx=create_optimizer(cfg.optimizer),
+    )
+    step = jax.jit(make_train_step(model, cfg, LossWeights(contrastive=0.0)))
+
+    def run(s):
+        out = step(s, batch, jax.random.PRNGKey(0))
+        float(np.asarray(out[1]["loss/total"]))
+        return out[0]
+
+    state = run(state)
+    reps = 4
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                state = run(state)
+        total, span, agg = parse_device_lane(td)
+    return "A-stack train step, batch 256, 2^19 tables", reps, total, span, agg
 
 
 def main():
@@ -131,12 +168,13 @@ def main():
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     sys.path.insert(0, os.path.join(os.path.dirname(OUT), "tools"))
+    sys.path.insert(0, os.path.dirname(OUT))  # repo root for bench.py
 
     log(f"devices: {jax.devices()}")
     which = sys.argv[1] if len(sys.argv) > 1 else "forward"
-    what, reps, total, agg = (
-        profile_train(jax) if which == "train" else profile_forward(jax)
-    )
+    fns = {"forward": profile_forward, "train": profile_train,
+           "astack": profile_astack}
+    what, reps, total, span, agg = fns[which](jax)
 
     rows = sorted(
         (
@@ -149,12 +187,13 @@ def main():
     result = {
         "what": f"{what}, per-op device time (jax.profiler, avg of {reps})",
         "device_total_ms": round(total / reps, 2),
+        "device_span_ms": round(span / reps, 2),
         "top_ops": rows[:30],
         "n_distinct_ops": len(rows),
     }
-    out_path = OUT if which == "forward" else OUT.replace(
-        "PROFILE_FLAGSHIP", "PROFILE_TRAIN"
-    )
+    suffix = {"forward": "PROFILE_FLAGSHIP", "train": "PROFILE_TRAIN",
+              "astack": "PROFILE_ASTACK"}[which]
+    out_path = OUT.replace("PROFILE_FLAGSHIP", suffix)
     # keep the forward artifact's historical field name
     if which == "forward":
         result["device_total_ms_per_fwd"] = result["device_total_ms"]
