@@ -39,7 +39,7 @@ from .mla_decode import (
     decode_step,
     init_cache,
 )
-from .mlp_unet import MLPUNet, MultimodalUNet
+from .mlp_unet import BimodalMLPUNet, MLPUNet, MultimodalUNet, species_topk
 from .shared_space import LatentPool, MultimodalSharedSpace
 from .simulator import (
     DatasetSpecificDecoder,
@@ -68,8 +68,10 @@ __all__ = [
     "init_cache",
     "DeepSeekForCausalLM",
     "DeepSeekForSequenceClassification",
+    "BimodalMLPUNet",
     "MLPUNet",
     "MultimodalUNet",
+    "species_topk",
     "LatentPool",
     "MultimodalSharedSpace",
     "DatasetSpecificDecoder",

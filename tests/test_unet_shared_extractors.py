@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deepearth_tpu.data import StubExtractor, run_parallel_extraction
 from deepearth_tpu.models import (
@@ -142,3 +143,76 @@ class TestExport:
             rtol=3e-2, atol=3e-2,
         )
         assert recon["species"].shape == (2, 232)
+
+
+class TestBimodalMLPUNet:
+    def test_learnable_table_trains_and_retrieves(self):
+        """Image↔species system (reference: reconstruction/mlp_unet/
+        model.py:228-344): train the shared U-Net to map masked image
+        embeddings onto their species embedding; cosine top-k must then
+        retrieve the right species."""
+        import jax
+        import jax.numpy as jnp
+        import optax
+
+        from deepearth_tpu.models import BimodalMLPUNet, species_topk
+
+        S, D, B = 6, 64, 24
+        key = jax.random.PRNGKey(0)
+        # frozen "text" species table with well-separated rows
+        table = jax.random.normal(key, (S, D)) * 2.0
+        model = BimodalMLPUNet(
+            n_species=S, embedding_dim=D, hidden_dim=64, mask_ratio=0.3,
+            species_table=table,
+        )
+        # synthetic image embeddings: species embedding + noise
+        sp = jax.random.randint(jax.random.PRNGKey(1), (B,), 0, S)
+        img = table[sp] + 0.1 * jax.random.normal(jax.random.PRNGKey(2), (B, D))
+
+        params = model.init(
+            {"params": jax.random.PRNGKey(3), "mask": jax.random.PRNGKey(4),
+             "dropout": jax.random.PRNGKey(5)},
+            embedding=img, deterministic=False,
+        )["params"]
+        tx = optax.adam(1e-3)
+        opt = tx.init(params)
+
+        @jax.jit
+        def step(params, opt, rng):
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p}, embedding=img, deterministic=False,
+                    rngs={"mask": rng, "dropout": jax.random.fold_in(rng, 1)},
+                )
+                # image→species: reconstruct toward the species embedding
+                return jnp.mean((out["recon"] - table[sp]) ** 2)
+
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            up, opt = tx.update(g, opt)
+            return optax.apply_updates(params, up), opt, loss
+
+        l0 = None
+        for i in range(150):
+            params, opt, loss = step(params, opt, jax.random.PRNGKey(10 + i))
+            l0 = l0 if l0 is not None else float(loss)
+        assert float(loss) < l0 * 0.5, (l0, float(loss))
+
+        out = model.apply({"params": params}, embedding=img)
+        pred = species_topk(out["recon"], out["species_table"], k=1)[:, 0]
+        acc = float(jnp.mean((pred == sp).astype(jnp.float32)))
+        assert acc > 0.8, acc
+
+    def test_species_direction_and_learnable_table(self):
+        import jax
+        import jax.numpy as jnp
+
+        from deepearth_tpu.models import BimodalMLPUNet
+
+        model = BimodalMLPUNet(n_species=5, embedding_dim=32, hidden_dim=32)
+        ids = jnp.asarray([0, 3, 4])
+        v = model.init(jax.random.PRNGKey(0), species_ids=ids)
+        assert "species_embeddings" in v["params"]  # learnable table
+        out = model.apply(v, species_ids=ids)
+        assert out["recon"].shape == (3, 32)
+        with pytest.raises(ValueError):
+            model.apply(v)  # neither input
