@@ -265,3 +265,21 @@ class TestRetrieval:
         b = proto[labels] + 0.05 * rng.standard_normal((100, 16))
         m = retrieval_metrics(a, b, ks=(1,), positive_labels=labels)
         assert m["recall@1"] > 0.95  # any same-species hit counts
+
+
+class TestMonitor:
+    def test_snapshot_sections(self, tmp_path):
+        """Resource monitor (reference: monitor_training.py) renders device,
+        host, and latest-metrics sections without psutil/GPUtil."""
+        import sys
+
+        sys.path.insert(0, "/root/repo/tools")
+        import monitor
+
+        log = tmp_path / "metrics.jsonl"
+        log.write_text('{"step": 1, "loss/total": 0.5}\n'
+                       '{"step": 2, "loss/total": 0.25}\n')
+        s = monitor.snapshot(str(log))
+        assert "Device HBM:" in s and "Host:" in s
+        assert "RAM:" in s and "disk /" in s
+        assert "step: 2" in s and "loss/total: 0.25" in s
