@@ -6,7 +6,12 @@ from .probes import (
     classification_metrics,
     regression_metrics,
 )
-from .ecosystems import EcosystemCluster, analyze_ecosystems
+from .ecosystems import (
+    EcosystemCluster,
+    analyze_ecosystems,
+    ecosystem_map_html,
+    species_similarity,
+)
 from .retrieval import cross_modal_retrieval, retrieval_metrics
 from .spatiotemporal import (
     SpatiotemporalMetrics,
@@ -21,6 +26,8 @@ __all__ = [
     "retrieval_metrics",
     "EcosystemCluster",
     "analyze_ecosystems",
+    "ecosystem_map_html",
+    "species_similarity",
     "DeepEarthEvaluator",
     "ProbeResult",
     "classification_metrics",

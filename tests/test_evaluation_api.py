@@ -283,3 +283,38 @@ class TestMonitor:
         assert "Device HBM:" in s and "Host:" in s
         assert "RAM:" in s and "disk /" in s
         assert "step: 2" in s and "loss/total: 0.25" in s
+
+
+class TestEcosystemAnalysisExtras:
+    def test_species_similarity_pairs(self):
+        """Per-species cosine relationships (reference:
+        training/florida_ecosystem_analysis.py:204-262): species sharing a
+        cluster must rank as the most similar pair."""
+        rng = np.random.default_rng(0)
+        # species 0 and 1 share a direction; species 2 is orthogonal
+        base = np.zeros((3, 16)); base[0, 0] = base[1, 0] = 1.0; base[2, 8] = 1.0
+        species = np.repeat([0, 1, 2], 20)
+        emb = base[species] + 0.05 * rng.standard_normal((60, 16))
+
+        from deepearth_tpu.evaluation import species_similarity
+
+        res = species_similarity(emb, species, top_k=3)
+        assert res["similarity"].shape == (3, 3)
+        a, b, sim = res["pairs"][0]
+        assert {a, b} == {0, 1} and sim > 0.9
+
+    def test_ecosystem_map_html_self_contained(self, tmp_path):
+        """Geographic distribution map (reference: florida_ecosystem_
+        analysis.py:159-201) written as one self-contained HTML file — no
+        CDN/script URLs (zero-egress parity with the serving stack)."""
+        from deepearth_tpu.evaluation import ecosystem_map_html
+
+        rng = np.random.default_rng(1)
+        lat = 27.5 + rng.standard_normal(50) * 0.5
+        lon = -81.4 + rng.standard_normal(50) * 0.5
+        labels = rng.integers(0, 3, 50)
+        path = ecosystem_map_html(lat, lon, labels, str(tmp_path / "map.html"))
+        html = open(path).read()
+        assert "<canvas" in html and '"0":' in html  # legend sizes embedded
+        assert "http://" not in html and "https://" not in html
+        assert str(round(float(lon[0]), 5)) in html
