@@ -109,7 +109,7 @@ def ecosystem_map_html(
     lat: np.ndarray,
     lon: np.ndarray,
     labels: np.ndarray,
-    path: str,
+    path: "str | None" = None,
     title: str = "Ecosystem distribution",
 ) -> str:
     """Interactive geographic distribution map as a SELF-CONTAINED html
@@ -159,6 +159,8 @@ for(const[c,n]of Object.entries(SIZES)){{const d=document.createElement("div");
 d.innerHTML=`<span style="color:${{COLORS[c%COLORS.length]}}">●</span> `+
 `cluster ${{c}}: ${{n}} obs`;lg.appendChild(d);}}
 fit();</script></body></html>"""
-    with open(path, "w") as f:
-        f.write(html)
-    return path
+    if path is not None:
+        with open(path, "w") as f:
+            f.write(html)
+        return path
+    return html

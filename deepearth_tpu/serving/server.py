@@ -25,6 +25,7 @@ Python stdlib HTTP server (flask is not in this image). Routes:
   GET  /api/image_proxy/<id>/<n>       — local image proxy (zero-egress)
   GET  /api/vision_umap, /api/language_umap — store-level projections
   GET  /api/ecosystems                 — ecosystem clustering
+  GET  /api/ecosystem_map              — interactive HTML distribution map
   GET  /api/grid_statistics            — spatial grid aggregation
   GET  /static/<path>                  — static files
   POST /api/training/batch             — ML data service over HTTP
@@ -286,9 +287,7 @@ class DataService:
             "n_components": n_components,
         }
 
-    def ecosystems(self, n_clusters: int = 8, max_items: int = 1000) -> Dict[str, Any]:
-        """Cluster observation embeddings into ecological communities
-        (reference: /api/ecosystem_analysis route)."""
+    def _ecosystem_raw(self, n_clusters: int, max_items: int):
         if self.vision_loader is None or not len(self.obs.get("gbif_id", [])):
             raise ValueError("ecosystem analysis needs observations + vision store")
         from ..evaluation.ecosystems import analyze_ecosystems
@@ -311,6 +310,12 @@ class DataService:
             np.asarray(self.obs["lon"])[rows],
             n_clusters=min(n_clusters, max(2, len(ids) // 4)),
         )
+        return ids, rows, out
+
+    def ecosystems(self, n_clusters: int = 8, max_items: int = 1000) -> Dict[str, Any]:
+        """Cluster observation embeddings into ecological communities
+        (reference: /api/ecosystem_analysis route)."""
+        ids, rows, out = self._ecosystem_raw(n_clusters, max_items)
         return {
             "silhouette": out["silhouette"],
             "labels": {i: int(l) for i, l in zip(ids, out["labels"])},
@@ -326,6 +331,19 @@ class DataService:
                 for c in out["clusters"]
             ],
         }
+
+    def ecosystem_map(self, n_clusters: int = 8, max_items: int = 1000) -> str:
+        """Interactive self-contained HTML distribution map
+        (reference: training/florida_ecosystem_analysis.py folium map —
+        here zero-egress canvas, see evaluation/ecosystems.py)."""
+        from ..evaluation.ecosystems import ecosystem_map_html
+
+        _, rows, out = self._ecosystem_raw(n_clusters, max_items)
+        return ecosystem_map_html(
+            np.asarray(self.obs["lat"])[rows],
+            np.asarray(self.obs["lon"])[rows],
+            out["labels"],
+        )
 
 
     # -- visualization-surface routes (reference: deepearth_dashboard.py) --- #
@@ -662,6 +680,13 @@ def make_handler(service: DataService):
                         service.ecosystems(
                             n_clusters=int(q.get("n_clusters", ["8"])[0])
                         ),
+                    )
+                if parts == ["api", "ecosystem_map"]:
+                    return self._send_raw(
+                        service.ecosystem_map(
+                            n_clusters=int(q.get("n_clusters", ["8"])[0])
+                        ).encode(),
+                        "text/html; charset=utf-8",
                     )
                 return self._send(404, {"error": f"unknown route {url.path}"})
             except Exception as e:  # route errors → 500 JSON, not a stack dump

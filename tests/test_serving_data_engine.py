@@ -329,6 +329,17 @@ class TestAnalysisRoutes:
             eco = c._get("/api/ecosystems?n_clusters=3")
             assert len(eco["clusters"]) == 3
             assert all(cl["species_purity"] > 0.5 for cl in eco["clusters"])
+
+            # interactive map route: self-contained HTML (no CDN)
+            import urllib.request
+
+            with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/api/ecosystem_map?n_clusters=3",
+                timeout=60,
+            ) as r:
+                assert "text/html" in r.headers["Content-Type"]
+                html = r.read().decode()
+            assert "<canvas" in html and "https://" not in html
         finally:
             srv.stop()
 
