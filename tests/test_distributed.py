@@ -254,19 +254,27 @@ class TestRealMultiProcess:
         env.pop("XLA_FLAGS", None)
         for var in ("MASTER_ADDR", "MASTER_PORT", "WORLD_SIZE", "RANK"):
             env.pop(var, None)
+        import socket
         import tempfile
 
+        # pick a genuinely free port: a fixed one can sit in TIME_WAIT from
+        # an earlier run and the workers then fail rendezvous
+        with socket.socket() as sock:
+            sock.bind(("127.0.0.1", 0))
+            port = str(sock.getsockname()[1])
         ckpt = tempfile.mkdtemp(prefix="mp_ckpt_")
         procs = [
             subprocess.Popen(
                 [_sys.executable, "tests/multiprocess_worker.py", str(i), "2",
-                 "12391", ckpt],
+                 port, ckpt],
                 stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
                 cwd="/root/repo", env=env,
             )
             for i in range(2)
         ]
-        outs = [p.communicate(timeout=600)[0] for p in procs]
+        # generous: both workers cold-compile on this one-core box, and the
+        # rest of the suite may be contending for it
+        outs = [p.communicate(timeout=1200)[0] for p in procs]
         losses, local_losses = [], []
         for i, out in enumerate(outs):
             assert procs[i].returncode == 0, out[-3000:]
