@@ -215,19 +215,23 @@ class DeepEarthValidator:
         wd = jnp.asarray(rng.standard_normal((e, f, d)) * 0.1, jnp.float32)
         res = moe_gate(logits, jnp.zeros(e), top_k=k, n_group=1, topk_group=1,
                        norm_topk_prob=True, routed_scaling_factor=1.0)
-        disp, comb, _ = make_dispatch_combine(
-            res.topk_idx, res.topk_weight, n_experts=e, capacity=cap
-        )
-        y_dense = jnp.einsum(
-            "nec,ecd->nd", comb,
-            expert_ffn(jnp.einsum("nec,nd->ecd", disp, x), wg, wu, wd),
-        )
-        y_sc, _ = scatter_dispatch_ffn(
-            x, res.topk_idx, res.topk_weight, wg, wu, wd, cap
-        )
+        # TPU f32 matmuls default to reduced-precision MXU passes; the two
+        # dispatch formulations contract in different orders, so pin full
+        # precision for the equivalence check (CPU is unaffected)
+        with jax.default_matmul_precision("highest"):
+            disp, comb, _ = make_dispatch_combine(
+                res.topk_idx, res.topk_weight, n_experts=e, capacity=cap
+            )
+            y_dense = jnp.einsum(
+                "nec,ecd->nd", comb,
+                expert_ffn(jnp.einsum("nec,nd->ecd", disp, x), wg, wu, wd),
+            )
+            y_sc, _ = scatter_dispatch_ffn(
+                x, res.topk_idx, res.topk_weight, wg, wu, wd, cap
+            )
         err = float(jnp.max(jnp.abs(y_sc - y_dense)))
         self.results["moe_dispatch_modes"] = {"max_abs_diff": err}
-        assert err < 1e-4
+        assert err < 1e-4, f"dispatch modes diverge: {err}"
 
     def test_adaptive_splat(self):
         """Densify/prune grows the scene and the fit improves (round 2)."""
