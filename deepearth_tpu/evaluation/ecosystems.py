@@ -118,8 +118,10 @@ def ecosystem_map_html(
     zero-egress like the rest of the serving stack). Pan with drag, zoom
     with the wheel; a legend lists cluster sizes.
     """
+    import html as _html
     import json as _json
 
+    title = _html.escape(title)  # injection-safe interpolation (ADVICE r2)
     lat = np.asarray(lat, float)
     lon = np.asarray(lon, float)
     labels = np.asarray(labels, int)

@@ -15,6 +15,7 @@ prompt/generation length up to the cap.
 from __future__ import annotations
 
 import math
+from collections import OrderedDict
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -119,14 +120,21 @@ def causal_lm_decode_step(
     return logits[:, 0].astype(jnp.float32), tuple(new_caches)
 
 
-def _sample(logits, rng, temperature: float, top_k: Optional[int]):
-    if temperature == 0.0:
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    logits = logits / temperature
+def _sample(logits, rng, temperature, top_k: Optional[int]):
+    """Sample with a RUNTIME temperature (traced scalar; 0.0 → greedy).
+
+    Temperature used to be a static jit key — every distinct client value
+    triggered a 20-60 s remote recompile (ADVICE r2). Both branches are
+    computed and selected with ``where``; top_k stays static (lax.top_k
+    needs a static k) but servers clamp it to a small set.
+    """
     if top_k is not None:
         kth = jax.lax.top_k(logits, top_k)[0][..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
-    return jax.random.categorical(rng, logits, axis=-1).astype(jnp.int32)
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    t = jnp.maximum(jnp.asarray(temperature, jnp.float32), 1e-6)
+    sampled = jax.random.categorical(rng, logits / t, axis=-1).astype(jnp.int32)
+    return jnp.where(jnp.asarray(temperature, jnp.float32) > 0.0, sampled, greedy)
 
 
 def generate(
@@ -140,14 +148,22 @@ def generate(
     rng: Optional[jax.Array] = None,
     max_len: Optional[int] = None,
     cache_dtype=jnp.float32,
+    prompt_len: Optional[int] = None,
 ) -> jnp.ndarray:
     """Greedy/temperature sampling loop over the compressed-cache decoder.
 
     Args:
-        input_ids: (B, S) int32 prompt.
+        input_ids: (B, S) int32 prompt (optionally right-padded; see
+            ``prompt_len``).
         max_new_tokens: number of tokens to sample.
         temperature: 0.0 → greedy; >0 → softmax sampling (optionally top-k
-            filtered).
+            filtered). Runtime argument — does NOT key compilation.
+        prompt_len: number of VALID leading prompt tokens (default: S).
+            Lets servers pad prompts to bucketed lengths: pad tokens are
+            prefetched through the model but their cache slots are
+            overwritten during decode and never attended to (the cache's
+            ``length`` is reset to ``prompt_len`` after prefill, and
+            decode_step masks slots ``>= length``).
 
     Returns:
         (B, max_new_tokens) int32 sampled tokens.
@@ -156,14 +172,19 @@ def generate(
     max_len = max_len or (S + max_new_tokens)
     if rng is None:
         rng = jax.random.PRNGKey(0)
+    if prompt_len is None:
+        prompt_len = S
     # converted checkpoints arrive as numpy — device arrays required under jit
     params = jax.tree.map(jnp.asarray, params)
-    run = _get_run(cfg, max_new_tokens, max_len, temperature, top_k,
+    run = _get_run(cfg, max_new_tokens, max_len, top_k,
                    jnp.dtype(cache_dtype).name)
-    return run(params, input_ids, rng)
+    return run(
+        params, input_ids, jnp.asarray(prompt_len, jnp.int32), rng,
+        jnp.asarray(temperature, jnp.float32),
+    )
 
 
-def _get_run(cfg, max_new_tokens, max_len, temperature, top_k, cache_dtype_name):
+def _get_run(cfg, max_new_tokens, max_len, top_k, cache_dtype_name):
     """Jitted decode loop, cached per static configuration.
 
     Defining the jitted closure inside :func:`generate` would retrace the
@@ -172,16 +193,22 @@ def _get_run(cfg, max_new_tokens, max_len, temperature, top_k, cache_dtype_name)
     run is memoized on the static decode parameters instead. Caches are
     created inside jit — their shapes depend only on (B, max_len), which
     jit already keys on through input_ids.
+
+    The cache is a bounded LRU (size ``_RUN_CACHE_MAX``): each compiled
+    program holds a live XLA executable, and the static key space
+    (max_new_tokens × max_len × top_k) is client-influenced in serving —
+    unbounded growth was ADVICE r2's memory-leak finding.
     """
     import dataclasses
     import json as _json
 
     key = (
         _json.dumps(dataclasses.asdict(cfg), sort_keys=True, default=str),
-        max_new_tokens, max_len, temperature, top_k, cache_dtype_name,
+        max_new_tokens, max_len, top_k, cache_dtype_name,
     )
     cached = _RUN_CACHE.get(key)
     if cached is not None:
+        _RUN_CACHE.move_to_end(key)
         return cached
 
     cache_dtype = jnp.dtype(cache_dtype_name)
@@ -194,7 +221,7 @@ def _get_run(cfg, max_new_tokens, max_len, temperature, top_k, cache_dtype_name)
             return caches, logits
         return body
 
-    def sample_body(params):
+    def sample_body(params, temperature):
         def body(state, rng_t):
             caches, tok = state
             logits, caches = causal_lm_decode_step(
@@ -205,7 +232,7 @@ def _get_run(cfg, max_new_tokens, max_len, temperature, top_k, cache_dtype_name)
         return body
 
     @jax.jit
-    def run(params, input_ids, rng):
+    def run(params, input_ids, prompt_len, rng, temperature):
         b = input_ids.shape[0]
         caches = tuple(
             init_cache(cfg.mla, b, max_len, cache_dtype)
@@ -214,15 +241,28 @@ def _get_run(cfg, max_new_tokens, max_len, temperature, top_k, cache_dtype_name)
         caches_out, logits_seq = jax.lax.scan(
             prefill_body(params), caches, input_ids.T.astype(jnp.int32)
         )
-        first = _sample(logits_seq[-1], rng, temperature, top_k)
+        # Right-pad-aware: sample from the logits of the last VALID prompt
+        # token, and reset cache lengths so decode overwrites (and the
+        # attention mask excludes) any pad slots written during prefill.
+        last_logits = jax.lax.dynamic_slice_in_dim(
+            logits_seq, prompt_len - 1, 1, axis=0
+        )[0]
+        caches_out = tuple(
+            c._replace(length=prompt_len) for c in caches_out
+        )
+        first = _sample(last_logits, rng, temperature, top_k)
         rngs = jax.random.split(rng, max_new_tokens)
         (_, _), toks = jax.lax.scan(
-            sample_body(params), (caches_out, first), rngs[: max_new_tokens - 1]
+            sample_body(params, temperature),
+            (caches_out, first), rngs[: max_new_tokens - 1]
         )
         return jnp.concatenate([first[None], toks], axis=0).T  # (B, T)
 
     _RUN_CACHE[key] = run
+    while len(_RUN_CACHE) > _RUN_CACHE_MAX:
+        _RUN_CACHE.popitem(last=False)
     return run
 
 
-_RUN_CACHE: Dict[Any, Any] = {}
+_RUN_CACHE: "OrderedDict[Any, Any]" = OrderedDict()
+_RUN_CACHE_MAX = 8

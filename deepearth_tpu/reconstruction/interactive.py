@@ -26,6 +26,7 @@ from __future__ import annotations
 
 import base64
 import dataclasses
+import html as html_mod
 import itertools
 import json
 import math
@@ -193,7 +194,9 @@ def scene_to_json(views: Sequence[ViewCloud]) -> str:
             for lbl, m in candidate_transforms()
         ],
     }
-    return json.dumps(payload)
+    # '<' escaped so a hostile frame name containing '</script>' cannot
+    # break out of the <script type="application/json"> block (ADVICE r2)
+    return json.dumps(payload).replace("<", "\\u003c")
 
 
 # --------------------------------------------------------------------------- #
@@ -292,6 +295,7 @@ rebuild();
 
 def render_viewer_html(views: Sequence[ViewCloud], title: str = "DeepEarth viewer") -> str:
     """Self-contained HTML page (no external assets) for the scene."""
+    title = html_mod.escape(title)
     return f"""<!doctype html>
 <html><head><meta charset="utf-8"><title>{title}</title><style>
 html,body{{margin:0;height:100%;background:#101014;color:#ddd;

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, List, Optional
@@ -141,18 +142,43 @@ class DeepSeekFlaxEmbedder:
         out = self._hidden(self.params, ids_arr, mask)
         return np.asarray(out[0], np.float32)
 
+    # Static jit keys are bucketed so hostile/varied clients cannot force a
+    # 20-60 s remote compile per request while holding the service lock
+    # (ADVICE r2). Temperature is a runtime argument (no compile impact);
+    # max_new_tokens and the prompt length snap to these buckets, so at most
+    # len(buckets)² programs ever compile per batch size.
+    GEN_TOKEN_BUCKETS = (16, 32, 64, 128, 256)
+    PROMPT_BUCKET = 64
+
     def generate(self, text: str, max_new_tokens: int = 32,
-                 temperature: float = 0.0) -> List[int]:
+                 temperature: float = 0.0,
+                 rng: Optional[np.ndarray] = None) -> List[int]:
+        import jax
         import jax.numpy as jnp
 
         from ..models.generation import generate as _generate
 
-        ids = jnp.asarray([self.tokenize(text) or [0]], jnp.int32)
+        n_req = max(1, min(int(max_new_tokens), self.GEN_TOKEN_BUCKETS[-1]))
+        n_bucket = next(b for b in self.GEN_TOKEN_BUCKETS if b >= n_req)
+        temperature = float(min(max(float(temperature), 0.0), 4.0))
+
+        ids = self.tokenize(text) or [0]
+        prompt_len = len(ids)
+        pad_to = -(-prompt_len // self.PROMPT_BUCKET) * self.PROMPT_BUCKET
+        ids = ids + [0] * (pad_to - prompt_len)
+        ids_arr = jnp.asarray([ids], jnp.int32)
+
+        if rng is None:
+            # per-request entropy: with temperature > 0, two identical
+            # requests must not return the identical sample (ADVICE r2)
+            seed = int.from_bytes(os.urandom(4), "little")
+            rng = jax.random.PRNGKey(seed)
         toks = _generate(
-            self.params, self.cfg, ids, max_new_tokens,
-            temperature=temperature,
+            self.params, self.cfg, ids_arr, n_bucket,
+            temperature=temperature, rng=rng,
+            max_len=pad_to + n_bucket, prompt_len=prompt_len,
         )
-        return np.asarray(toks[0]).tolist()
+        return np.asarray(toks[0, :n_req]).tolist()
 
 
 class LanguageEmbeddingService:

@@ -182,6 +182,37 @@ class TestHFConversion:
         )
         assert not np.array_equal(np.asarray(s1), np.asarray(s2))
 
+    def test_generate_prompt_padding_equivalence(self, tiny_ref_model):
+        """Right-padding the prompt to a bucketed length (the serving-side
+        anti-recompile bucketing, ADVICE r2) must not change greedy output:
+        pad slots are overwritten during decode and masked out of
+        attention."""
+        hf_cfg, ref_model = tiny_ref_model
+        cfg, vocab = config_from_hf(hf_cfg)
+        params = convert_hf_state_dict(ref_model.state_dict(), cfg)
+
+        prompt = jnp.asarray([[3, 17, 42, 9, 56]], jnp.int32)
+        ref = np.asarray(generate(params, cfg, prompt, max_new_tokens=6))
+
+        padded = jnp.concatenate(
+            [prompt, jnp.zeros((1, 11), jnp.int32)], axis=1
+        )  # bucketed to 16
+        out = np.asarray(
+            generate(
+                params, cfg, padded, max_new_tokens=6,
+                prompt_len=5, max_len=16 + 6,
+            )
+        )
+        np.testing.assert_array_equal(out, ref)
+
+        # runtime temperature does not recompile: same compiled run object
+        from deepearth_tpu.models.generation import _RUN_CACHE
+        n_before = len(_RUN_CACHE)
+        generate(params, cfg, padded, max_new_tokens=6, prompt_len=5,
+                 max_len=16 + 6, temperature=0.7,
+                 rng=jax.random.PRNGKey(3))
+        assert len(_RUN_CACHE) == n_before
+
     def test_greedy_matches_full_forward_argmax(self, tiny_ref_model):
         """First generated token == argmax of the training-path forward at
         the last prompt position (decode path consistency end-to-end)."""

@@ -266,6 +266,48 @@ class TestDispatch:
         out = expert_ffn(ein, wg, wu, wd)
         assert out.shape == (e, c, d)
 
+    def test_expert_ffn_bf16_intermediate_tolerance(self):
+        """Pin the bf16-intermediate precision of expert_ffn (ADVICE r2).
+
+        expert_ffn deliberately drops preferred_element_type=float32 on its
+        einsums (fp32 accumulation stays inside the MXU; f32 *outputs* only
+        add HBM traffic). The cost is bf16 rounding of gate/up/h between
+        matmuls. This asserts that, at realistic weight scales, bf16
+        intermediates stay within bf16-rounding distance (measured ~1e-2
+        mean rel err — exactly bf16 eps territory, and the same rounding
+        torch bf16 autocast applies to MLP intermediates) of an
+        fp32-intermediate oracle over IDENTICAL bf16 inputs — the tolerance
+        every bf16 dispatch path inherits."""
+        e, c, d, f = 4, 32, 64, 128
+        rng = np.random.default_rng(11)
+        # SAME bf16 inputs for both paths — isolates the intermediate
+        # rounding (the actual change) from input quantization
+        ein = jnp.asarray(rng.standard_normal((e, c, d)), jnp.bfloat16)
+        wg = jnp.asarray(rng.standard_normal((e, d, f)) * 0.05, jnp.bfloat16)
+        wu = jnp.asarray(rng.standard_normal((e, d, f)) * 0.05, jnp.bfloat16)
+        wd = jnp.asarray(rng.standard_normal((e, f, d)) * 0.05, jnp.bfloat16)
+
+        # fp32-intermediate oracle over identical bf16 inputs
+        gate = jnp.einsum("ecd,edf->ecf", ein, wg,
+                          preferred_element_type=jnp.float32)
+        up = jnp.einsum("ecd,edf->ecf", ein, wu,
+                        preferred_element_type=jnp.float32)
+        h = jax.nn.silu(gate) * up
+        oracle = np.asarray(
+            jnp.einsum("ecf,efd->ecd", h, wd.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        )
+
+        out_bf16 = np.asarray(expert_ffn(ein, wg, wu, wd).astype(jnp.float32))
+        err = np.abs(out_bf16 - oracle)
+        rel = err / (np.abs(oracle) + 1e-3)
+        rms = float(np.sqrt((oracle ** 2).mean()))
+        # measured: mean rel ~1.0e-2 (CPU and v5e), max err ~3% of output
+        # RMS. Pointwise rel err has heavy tails only where the output is
+        # itself near zero, so the max is bounded against the RMS instead.
+        assert rel.mean() < 2e-2, f"mean rel err {rel.mean():.2e}"
+        assert err.max() / rms < 8e-2, f"max err/rms {err.max()/rms:.2e}"
+
     def test_scatter_matches_dense_dispatch(self):
         """Scatter dispatch reproduces the one-hot einsum path exactly —
         same k-major capacity priority, same drops — across ample and tight
