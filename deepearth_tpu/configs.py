@@ -216,6 +216,12 @@ class MoEConfig:
     # Auxiliary load-balance loss weight (reference trains without aux via
     # bias correction; we expose both).
     aux_loss_weight: float = 0.0
+    # Activation budget (bytes) for the dense_all dispatch mode. None →
+    # derived at trace time from the local device's memory stats (60% of
+    # bytes_limit − bytes_in_use), falling back to 6 GB when the backend
+    # exposes none. Set explicitly to pin behavior near the OOM boundary
+    # (models/deepseek.py select_dispatch_mode).
+    dense_all_max_bytes: Optional[int] = None
 
 
 @dataclass
@@ -299,6 +305,12 @@ class ModalityConfig:
     use_moe_projection: bool = False
     encoder_layers: int = 2
     encoder_heads: int = 8
+    # rematerialize the per-modality encoder transformer's activations in
+    # backward (jax.checkpoint): trades ~⅓ extra encoder FLOPs for O(layers)
+    # less activation memory — what lets batch 64 fit the 16 GB chip on the
+    # trainable flagship (the reference's grad-checkpointing flag was never
+    # wired — reference: train_deepearth.py:46)
+    encoder_remat: bool = False
     loss_weight: float = 1.0
     mask_prob: float = 0.15  # per-sample modality masking probability
 
@@ -352,8 +364,16 @@ class OptimizerConfig:
     # >1 → optax.MultiSteps gradient accumulation
     # (reference: hpc/train_distrbuted.py grad-accum(4))
     grad_accum_steps: int = 1
-    # adam moment dtype; bfloat16 halves optimizer memory + HBM traffic
+    # adam FIRST-moment dtype; bfloat16 halves that accumulator's memory
     moment_dtype: str = "float32"  # 'float32' | 'bfloat16'
+    # SECOND-moment layout (training/optimizers.py): 'float32' exact,
+    # 'factored' = Adafactor-style row/col fp32 factors (~0 bytes/param,
+    # recommended for >1B-param single-chip training), 'bfloat16' lossy.
+    second_moment: str = "float32"
+    # single-sweep fused AdamW with inline global-norm clipping (saves the
+    # materialized scaled-gradient tree of optax.clip_by_global_norm);
+    # False restores the stock optax.chain for comparison
+    fused: bool = True
     b1: float = 0.9
     b2: float = 0.999
     schedule: str = "cosine"  # 'cosine' | 'onecycle' | 'constant'

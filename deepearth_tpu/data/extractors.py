@@ -72,13 +72,25 @@ class VJEPA2Extractor(BaseModalityExtractor):
         model_name: str = "facebook/vjepa2-vitg-fpc64-384",
         device: str = "cpu",
         dtype: str = "float16",
+        model=None,
+        processor=None,
     ):
+        """``model``/``processor``: inject already-constructed instances
+        (any torch module with ``.config.hidden_size`` + a video processor
+        callable) — used by tests to exercise this exact preprocessing path
+        with a locally-built tiny backbone, and by deployments that load
+        checkpoints themselves. Without them, the named checkpoint is
+        fetched from the HF hub (network required on first use)."""
         import torch
-        from transformers import AutoModel, AutoVideoProcessor
 
         self._torch = torch
-        self.processor = AutoVideoProcessor.from_pretrained(model_name)
-        self.model = AutoModel.from_pretrained(model_name).to(device).eval()
+        if model is None or processor is None:
+            from transformers import AutoModel, AutoVideoProcessor
+
+            processor = processor or AutoVideoProcessor.from_pretrained(model_name)
+            model = model or AutoModel.from_pretrained(model_name)
+        self.processor = processor
+        self.model = model.to(device).eval()
         self.device = device
         self.dtype = dtype
         self.native_dim = self.model.config.hidden_size
@@ -111,15 +123,26 @@ class LanguageModelExtractor(BaseModalityExtractor):
         model_name: str = "deepseek-ai/deepseek-llm-7b-base",
         device: str = "cpu",
         layer: int = -1,
+        model=None,
+        tokenizer=None,
     ):
+        """``model``/``tokenizer``: inject constructed instances (see
+        :class:`VJEPA2Extractor`) — lets tests run this path against a tiny
+        locally-built HF model with no network."""
         import torch
-        from transformers import AutoModel, AutoTokenizer
 
         self._torch = torch
-        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
-        self.model = AutoModel.from_pretrained(
-            model_name, output_hidden_states=True
-        ).to(device).eval()
+        if model is None or tokenizer is None:
+            from transformers import AutoModel, AutoTokenizer
+
+            tokenizer = tokenizer or AutoTokenizer.from_pretrained(model_name)
+            model = model or AutoModel.from_pretrained(
+                model_name, output_hidden_states=True
+            )
+        self.tokenizer = tokenizer
+        self.model = model.to(device).eval()
+        if hasattr(self.model.config, "output_hidden_states"):
+            self.model.config.output_hidden_states = True
         self.device = device
         self.layer = layer
         self.native_dim = self.model.config.hidden_size

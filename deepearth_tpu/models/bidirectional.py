@@ -80,7 +80,7 @@ class VisionSequenceDecoder(nn.Module):
             q = q + nn.Dense(
                 D, dtype=self.compute_dtype, param_dtype=self.param_dtype,
                 name=f"mlp_down_{i}",
-            )(nn.gelu(mlp))
+            )(nn.gelu(mlp, approximate=False))
 
         out = nn.Dense(
             self.channels, dtype=self.compute_dtype, param_dtype=self.param_dtype,
@@ -153,7 +153,7 @@ class _MLPStack(nn.Module):
                 dtype=self.compute_dtype, param_dtype=self.param_dtype,
                 name=f"ln{i}",
             )(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
         return nn.Dense(
             self.dims[-1], dtype=self.compute_dtype, param_dtype=self.param_dtype,
             name=f"fc{len(self.dims) - 1}",

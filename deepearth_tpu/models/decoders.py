@@ -20,12 +20,12 @@ class ModalityDecoder(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         kwargs = dict(dtype=self.compute_dtype, param_dtype=self.param_dtype)
         h = nn.Dense(self.hidden_dim, name="fc1", **kwargs)(x)
-        h = nn.LayerNorm(name="ln1", **kwargs)(h)
-        h = nn.gelu(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1", **kwargs)(h)  # torch LN default (parity)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = nn.Dense(self.hidden_dim // 2, name="fc2", **kwargs)(h)
-        h = nn.LayerNorm(name="ln2", **kwargs)(h)
-        h = nn.gelu(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2", **kwargs)(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(self.output_dim, name="fc3", **kwargs)(h)
 
@@ -51,10 +51,10 @@ class SpatiotemporalDecoder(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         kwargs = dict(dtype=self.compute_dtype, param_dtype=self.param_dtype)
         h = nn.Dense(self.hidden_dim // 2, name="fc1", **kwargs)(x)
-        h = nn.LayerNorm(name="ln1", **kwargs)(h)
-        h = nn.gelu(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln1", **kwargs)(h)  # torch LN default (parity)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.hidden_dim // 4, name="fc2", **kwargs)(h)
-        h = nn.LayerNorm(name="ln2", **kwargs)(h)
-        h = nn.gelu(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln2", **kwargs)(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(self.output_dim, name="fc3", **kwargs)(h)
         return nn.sigmoid(h)

@@ -65,6 +65,7 @@ class ModalityEncoder(nn.Module):
             name="output_projection",
         )(h)
         return nn.LayerNorm(
+            epsilon=1e-5,  # torch nn.LayerNorm default (reference parity)
             dtype=self.compute_dtype, param_dtype=self.param_dtype, name="norm"
         )(h)
 
@@ -182,7 +183,7 @@ class UniversalTokenEncoder(nn.Module):
 
         x = DeepSeekTransformer(
             self._transformer_cfg(), self.compute_dtype, self.param_dtype,
-            name="transformer",
+            remat=m.encoder_remat, name="transformer",
         )(x, deterministic=deterministic)
 
         if m.n_tokens > 1:

@@ -66,7 +66,7 @@ class SpatialTemporalEmbedding(nn.Module):
                 D // 2, dtype=self.compute_dtype, param_dtype=self.param_dtype,
                 name="temporal_fc1",
             )(t)
-            h = nn.gelu(h)
+            h = nn.gelu(h, approximate=False)
             h = nn.Dense(
                 D // 2, dtype=self.compute_dtype, param_dtype=self.param_dtype,
                 name="temporal_fc2",

@@ -88,10 +88,17 @@ class Grid4DEncoder(nn.Module):
             self.hidden_dim, dtype=self.compute_dtype, param_dtype=self.param_dtype,
             name="proj_in",
         )(combined)
+        # epsilon matches torch's nn.LayerNorm default (1e-5): the reference
+        # uses a plain LayerNorm here (models/encoders.py:49) and hash
+        # features initialize at ~1e-4 scale, so var ≪ eps and the epsilon
+        # CHOICE sets the output scale (3.2× at init between 1e-5 and 1e-6
+        # — caught by tests/test_parity_reference.py against the reference's
+        # actual module)
         h = nn.LayerNorm(
-            dtype=self.compute_dtype, param_dtype=self.param_dtype, name="proj_norm"
+            epsilon=1e-5, dtype=self.compute_dtype, param_dtype=self.param_dtype,
+            name="proj_norm",
         )(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)
         h = nn.Dense(
             self.hidden_dim, dtype=self.compute_dtype, param_dtype=self.param_dtype,
             name="proj_out",

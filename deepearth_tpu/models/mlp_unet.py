@@ -40,7 +40,7 @@ class MLPUNet(nn.Module):
         w = self.base_width
         for i in range(self.depth):
             h = nn.LayerNorm(name=f"enc_ln{i}", **kwargs)(h)
-            h = nn.gelu(nn.Dense(w, name=f"enc{i}", **kwargs)(h))
+            h = nn.gelu(nn.Dense(w, name=f"enc{i}", **kwargs)(h), approximate=False)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
             skips.append(h)
             w = max(w // 2, 32)
@@ -50,7 +50,7 @@ class MLPUNet(nn.Module):
             h = nn.Dense(w, name=f"up{i}", **kwargs)(h)
             h = jnp.concatenate([h, skips[-(i + 1)]], axis=-1)
             h = nn.LayerNorm(name=f"dec_ln{i}", **kwargs)(h)
-            h = nn.gelu(nn.Dense(w, name=f"dec{i}", **kwargs)(h))
+            h = nn.gelu(nn.Dense(w, name=f"dec{i}", **kwargs)(h), approximate=False)
             h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         return nn.Dense(self.output_dim, name="head", **kwargs)(h)
 

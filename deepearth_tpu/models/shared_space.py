@@ -64,7 +64,7 @@ class LatentPool(nn.Module):
             h = nn.gelu(nn.Dense(
                 D * 4, dtype=self.compute_dtype, param_dtype=self.param_dtype,
                 name=f"mlp_up_{i}",
-            )(mlp_in))
+            )(mlp_in), approximate=False)
             z = z + nn.Dense(
                 D, dtype=self.compute_dtype, param_dtype=self.param_dtype,
                 name=f"mlp_down_{i}",

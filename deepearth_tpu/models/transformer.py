@@ -82,7 +82,7 @@ class MLP(nn.Module):
             hidden, dtype=self.compute_dtype, param_dtype=self.param_dtype,
             kernel_init=nn.initializers.normal(0.02), name="fc1",
         )(x)
-        x = nn.gelu(x)
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(cfg.dropout)(x, deterministic=deterministic)
         x = nn.Dense(
             cfg.hidden_dim, dtype=self.compute_dtype, param_dtype=self.param_dtype,

@@ -48,13 +48,22 @@ def create_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     import jax.numpy as jnp
 
     mu_dtype = jnp.bfloat16 if cfg.moment_dtype == "bfloat16" else None
-    tx = optax.chain(
-        optax.clip_by_global_norm(cfg.grad_clip_norm),
-        optax.adamw(
+    if getattr(cfg, "fused", True):
+        from .optimizers import fused_adamw
+
+        tx = fused_adamw(
             schedule, b1=cfg.b1, b2=cfg.b2, weight_decay=cfg.weight_decay,
-            mu_dtype=mu_dtype,
-        ),
-    )
+            clip_norm=cfg.grad_clip_norm, mu_dtype=mu_dtype,
+            second_moment=getattr(cfg, "second_moment", "float32"),
+        )
+    else:
+        tx = optax.chain(
+            optax.clip_by_global_norm(cfg.grad_clip_norm),
+            optax.adamw(
+                schedule, b1=cfg.b1, b2=cfg.b2,
+                weight_decay=cfg.weight_decay, mu_dtype=mu_dtype,
+            ),
+        )
     if cfg.grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=cfg.grad_accum_steps)
     return tx
@@ -273,7 +282,11 @@ class Trainer:
         eval_every: int = 0,
         log_every: int = 50,
         save_every: int = 0,
+        metric_sink=None,
     ) -> Tuple[TrainState, Dict[str, float]]:
+        """``metric_sink``: optional object with ``log(metrics, step=)`` —
+        e.g. :class:`deepearth_tpu.utils.WandbSink` (wandb-format logging,
+        reference: train_deepearth.py:21,231)."""
         acc = MetricAccumulator()
         it = iter(train_batches)
         t0 = time.time()
@@ -289,6 +302,10 @@ class Trainer:
                 logger.info(
                     format_epoch_line(step, last_metrics, {"obs/s": rate})
                 )
+                if metric_sink is not None:
+                    metric_sink.log(
+                        {**last_metrics, "obs_per_s": rate}, step=step
+                    )
                 acc.reset()
                 t0 = time.time()
             if eval_every and eval_batches is not None and step % eval_every == 0:

@@ -28,3 +28,6 @@ __all__ = [
     "trace",
     "EmbeddingProjector",
 ]
+from .wandb_sink import WandbSink  # noqa: E402,F401
+
+__all__.append("WandbSink")

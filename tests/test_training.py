@@ -226,3 +226,159 @@ class TestEvalMasking:
         m_b1_again = step(state, batch, 1)
         assert float(m_b1["loss/total"]) == float(m_b1_again["loss/total"])
         assert float(m_b1["loss/total"]) != float(m1["loss/total"])
+
+
+class TestFusedAdamW:
+    """training/optimizers.py — the single-sweep optimizer (VERDICT r3 #1b)."""
+
+    def _tree(self, seed=0):
+        rng = np.random.default_rng(seed)
+        params = {
+            "dense": {"kernel": jnp.asarray(rng.standard_normal((256, 192)),
+                                            jnp.float32),
+                      "bias": jnp.asarray(rng.standard_normal(192), jnp.float32)},
+            "emb": jnp.asarray(rng.standard_normal((192, 256)), jnp.float32),
+        }
+        grads = jax.tree_util.tree_map(
+            lambda p: jnp.asarray(
+                np.random.default_rng(seed + 1).standard_normal(p.shape) * 3.0,
+                jnp.float32,
+            ),
+            params,
+        )
+        return params, grads
+
+    def test_matches_optax_chain_exactly(self):
+        """fp32 fused path == optax.chain(clip_by_global_norm, adamw) to
+        float tolerance, including the clipping branch (grads scaled to
+        exceed the norm) and bias correction over several steps."""
+        import optax
+
+        from deepearth_tpu.training.optimizers import fused_adamw
+
+        params, grads = self._tree()
+        lr, wd, clip = 3e-3, 0.02, 1.0
+        ref_tx = optax.chain(
+            optax.clip_by_global_norm(clip),
+            optax.adamw(lr, b1=0.9, b2=0.999, weight_decay=wd),
+        )
+        new_tx = fused_adamw(lr, b1=0.9, b2=0.999, weight_decay=wd,
+                             clip_norm=clip)
+        p_ref, p_new = params, params
+        s_ref = ref_tx.init(p_ref)
+        s_new = new_tx.init(p_new)
+        for step in range(5):
+            g = jax.tree_util.tree_map(lambda x: x * (0.2 + step), grads)
+            u_ref, s_ref = ref_tx.update(g, s_ref, p_ref)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            u_new, s_new = new_tx.update(g, s_new, p_new)
+            p_new = optax.apply_updates(p_new, u_new)
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=2e-7)
+
+    def test_factored_memory_and_convergence(self):
+        """Factored second moment: row/col fp32 factors for big matrices,
+        exact nu for small leaves; loss decreases on a quadratic."""
+        import optax
+
+        from deepearth_tpu.training.optimizers import (
+            _FactoredNu,
+            fused_adamw,
+            optimizer_state_bytes,
+        )
+
+        params, _ = self._tree()
+        tx = fused_adamw(5e-2, clip_norm=1.0, second_moment="factored")
+        state = tx.init(params)
+        # big matrices factored; 1-D bias exact
+        assert isinstance(state.nu["dense"]["kernel"], _FactoredNu)
+        assert isinstance(state.nu["emb"], _FactoredNu)
+        assert not isinstance(state.nu["dense"]["bias"], _FactoredNu)
+        assert state.nu["dense"]["kernel"].row.shape == (256,)
+        assert state.nu["dense"]["kernel"].col.shape == (192,)
+
+        # footprint accounting: factored ≪ exact
+        exact_b = optimizer_state_bytes(params, "float32")
+        fact_b = optimizer_state_bytes(params, "factored")
+        n = sum(p.size for p in jax.tree_util.tree_leaves(params))
+        assert exact_b == 8 * n
+        assert fact_b < 4.1 * n  # mu fp32 + tiny factors
+
+        target = jax.tree_util.tree_map(jnp.ones_like, params)
+
+        @jax.jit
+        def step(p, s):
+            def loss(p):
+                return sum(
+                    ((a - b) ** 2).mean()
+                    for a, b in zip(jax.tree_util.tree_leaves(p),
+                                    jax.tree_util.tree_leaves(target))
+                )
+
+            l, g = jax.value_and_grad(loss)(p)
+            u, s = tx.update(g, s, p)
+            return optax.apply_updates(p, u), s, l
+
+        losses = []
+        p = params
+        for _ in range(120):
+            p, state, l = step(p, state)
+            losses.append(float(l))
+        assert losses[-1] < 0.2 * losses[0], (losses[0], losses[-1])
+
+    def test_create_optimizer_wires_fused(self):
+        from deepearth_tpu.configs import OptimizerConfig
+        from deepearth_tpu.training import create_optimizer
+        from deepearth_tpu.training.optimizers import FusedAdamWState
+
+        cfg = OptimizerConfig(schedule="constant", second_moment="factored")
+        tx = create_optimizer(cfg)
+        params = {"w": jnp.ones((130, 130))}
+        st = tx.init(params)
+        assert isinstance(st, FusedAdamWState)
+        g = {"w": jnp.full((130, 130), 0.1)}
+        u, st2 = tx.update(g, st, params)
+        assert np.isfinite(np.asarray(u["w"])).all()
+        # legacy path still available
+        cfg2 = OptimizerConfig(schedule="constant", fused=False)
+        tx2 = create_optimizer(cfg2)
+        assert not isinstance(tx2.init(params), FusedAdamWState)
+
+
+class TestWandbSink:
+    """utils/wandb_sink.py — wandb-format metric emission with JSONL
+    fallback (reference: train_deepearth.py:21,231)."""
+
+    def test_jsonl_fallback_history_schema(self, tmp_path):
+        import json
+
+        from deepearth_tpu.utils import WandbSink
+
+        d = str(tmp_path / "run")
+        with WandbSink(project="deepearth", name="t", config={"lr": 1e-3},
+                       dir=d, mode="offline") as sink:
+            sink.log({"loss/total": 1.5, "obs_per_s": 10.0}, step=1)
+            sink.log({"loss/total": jnp.asarray(0.7)}, step=2)
+        meta = json.load(open(tmp_path / "run" / "wandb-metadata.json"))
+        assert meta["project"] == "deepearth" and meta["config"]["lr"] == 1e-3
+        rows = [json.loads(l) for l in open(tmp_path / "run" / "wandb-history.jsonl")]
+        assert rows[0]["_step"] == 1 and rows[0]["loss/total"] == 1.5
+        assert rows[1]["loss/total"] == pytest.approx(0.7)
+        assert "_runtime" in rows[0]
+
+    def test_trainer_fit_feeds_sink(self, tmp_path):
+        from deepearth_tpu.utils import WandbSink
+
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        gen = SyntheticEarthDataGenerator(SyntheticConfig())
+        trainer = Trainer(model, cfg, LossWeights(contrastive=0.0))
+        state = trainer.init_state(next(make_iter(gen, cfg, 4, 1)))
+        sink = WandbSink(name="fit", dir=str(tmp_path / "r"), mode="offline")
+        trainer.fit(state, make_iter(gen, cfg, 4), num_steps=4,
+                    log_every=2, metric_sink=sink)
+        sink.finish()
+        rows = open(tmp_path / "r" / "wandb-history.jsonl").read().splitlines()
+        assert len(rows) == 2  # steps 2 and 4

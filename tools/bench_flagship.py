@@ -82,7 +82,8 @@ def flops_of(jitted, *args) -> float:
         return float("nan")
 
 
-def build_model(moe_experts=8, moe_intermediate=2048, n_layers=24):
+def build_model(moe_experts=8, moe_intermediate=2048, n_layers=24,
+                second_moment="factored", encoder_remat=False):
     import jax.numpy as jnp
 
     from deepearth_tpu.configs import integrated_config
@@ -105,7 +106,15 @@ def build_model(moe_experts=8, moe_intermediate=2048, n_layers=24):
             moe_intermediate_size=moe_intermediate,
         ),
     )
+    # single-sweep fused AdamW + factored second moment: the r2 step had a
+    # fixed ≈38 ms optimizer sweep (27 GB of state); factored ν cuts the
+    # state to params+μ and the sweep to one pass (training/optimizers.py)
     cfg.optimizer.moment_dtype = "bfloat16"
+    cfg.optimizer.second_moment = second_moment
+    cfg.optimizer.fused = True
+    if encoder_remat:
+        for m in cfg.modalities.values():
+            m.encoder_remat = True
     from deepearth_tpu.models import DeepEarthModel
 
     return cfg, DeepEarthModel(cfg)
@@ -189,12 +198,17 @@ def bench_train(results, batches=(8, 16, 32, 64)):
     # S=576 is the reference adapter's per-image shape
     # (encoders/universal_encoder.py:70-137).
     SV, SL = 576, 16
-    cfg, model = build_model(moe_experts=4, moe_intermediate=1024, n_layers=10)
     sync = lambda o: float(np.asarray(o[1]["loss/total"]))  # noqa: E731
     scaling = {}
     best = None
 
     for B in batches:
+        # remat the per-modality encoders only when activations are what
+        # stops the batch from fitting (B=64 failed compile in round 2)
+        cfg, model = build_model(
+            moe_experts=4, moe_intermediate=1024, n_layers=10,
+            encoder_remat=(B >= 64),
+        )
         try:
             batch = make_batch(jax.random.PRNGKey(0), B, SV, SL)
             params = model.init(jax.random.PRNGKey(1), batch)["params"]
