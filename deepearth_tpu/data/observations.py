@@ -107,6 +107,13 @@ class ObservationDataset:
         import pandas as pd
 
         self.df: "pd.DataFrame" = table.reset_index(drop=True)
+        # Reference-schema adaptation (dashboard/dataset_config.json
+        # data_schema.observations): the published parquet names the species
+        # column ``taxon_name`` and carries the 7168-d DeepSeek-V3 language
+        # embedding per row in ``language_embedding``; accept that schema
+        # directly.
+        if "species" not in self.df and "taxon_name" in self.df:
+            self.df["species"] = self.df["taxon_name"]
         import pandas.api.types as ptypes
 
         is_numeric = ptypes.is_numeric_dtype(self.df["species"])
@@ -263,9 +270,17 @@ class UnifiedDataCache:
         if gbif_id in self._language_cache:
             self._language_cache.move_to_end(gbif_id)
             return self._language_cache[gbif_id]
-        if self.language_loader is None:
-            return None
-        emb = self.language_loader.get(gbif_id, out_dtype=np.float16)
+        emb = None
+        if self.language_loader is not None:
+            emb = self.language_loader.get(gbif_id, out_dtype=np.float16)
+        elif "language_embedding" in self.dataset.df:
+            # reference schema: per-row 7168-d embedding in the observations
+            # parquet itself (dashboard/dataset_config.json language_embeddings)
+            row = self.dataset.row_for_id(gbif_id)
+            if row is not None:
+                v = self.dataset.df["language_embedding"].iloc[row]
+                if v is not None:
+                    emb = np.asarray(v, np.float16)
         if emb is not None:
             self._language_cache.put(gbif_id, emb)
         return emb
@@ -308,11 +323,20 @@ class UnifiedDataCache:
             elif vis.ndim > 3:
                 vis = vis.reshape(vis.shape[0], -1, vis.shape[-1])
             batch["modalities"]["vision"] = vis
-        if include_language and self.language_loader is not None:
-            lang, _ = self.language_loader.get_batch(
-                observation_ids, out_dtype=embedding_dtype
-            )
-            batch["modalities"]["language"] = lang
+        if include_language:
+            if self.language_loader is not None:
+                lang, _ = self.language_loader.get_batch(
+                    observation_ids, out_dtype=embedding_dtype
+                )
+                batch["modalities"]["language"] = lang
+            elif "language_embedding" in self.dataset.df:
+                # reference schema: embeddings live in the observations
+                # parquet (see get_language_embedding)
+                col = self.dataset.df["language_embedding"]
+                lang = np.stack(
+                    [np.asarray(col.iloc[r], embedding_dtype) for r in rows]
+                )
+                batch["modalities"]["language"] = lang
         return batch
 
     def batch_iterator(

@@ -48,7 +48,21 @@ def main():
             columns=[args.id_column, args.embedding_column],
         ):
             ids = batch.column(args.id_column).to_pylist()
-            embs = batch.column(args.embedding_column).to_pylist()
+            col = batch.column(args.embedding_column)
+            try:
+                # fast path for (fixed-size-)list columns: flatten to one
+                # contiguous numpy buffer instead of 6.5M-element pylists
+                # (the reference row is 6,488,064 floats — to_pylist() on
+                # those is ~100× slower)
+                if hasattr(col, "combine_chunks"):
+                    col = col.combine_chunks()
+                embs = (
+                    col.flatten()
+                    .to_numpy(zero_copy_only=False)
+                    .reshape(len(ids), -1)
+                )
+            except Exception:
+                embs = col.to_pylist()
             for oid, emb in zip(ids, embs):
                 w.add(int(oid), np.asarray(emb, np.float32).reshape(args.shape))
                 n_written += 1
