@@ -40,6 +40,7 @@ stays in the data layer so the same service powers tests without sockets.
 from __future__ import annotations
 
 import json
+import os as _os
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -52,6 +53,11 @@ from ..utils.logging import get_logger
 from ..utils.projection import EmbeddingProjector
 
 logger = get_logger("Server")
+
+# packaged single-page-app assets (index.html / app.js / style.css)
+_UI_DIR = _os.path.abspath(
+    _os.path.join(_os.path.dirname(__file__), "static")
+)
 
 
 class DataService:
@@ -124,6 +130,7 @@ class DataService:
             s, w, nn_, e = bbox
             idx = idx[(lat >= s) & (lat <= nn_) & (lon >= w) & (lon <= e)]
         idx = idx[:limit]
+        years = self.obs.get("year")
         return {
             "count": int(len(idx)),
             "observations": [
@@ -132,6 +139,7 @@ class DataService:
                     "lat": float(self.obs["lat"][i]),
                     "lon": float(self.obs["lon"][i]),
                     "species": int(self.obs["species"][i]),
+                    **({"year": int(years[i])} if years is not None else {}),
                 }
                 for i in idx
             ],
@@ -478,8 +486,6 @@ class DataService:
         zero egress, so the proxy serves a configured local directory)."""
         if self.image_dir is None:
             return None
-        import os as _os
-
         for ext in ("jpg", "jpeg", "png"):
             p = _os.path.join(self.image_dir, f"{gbif_id}_{image_num}.{ext}")
             if _os.path.exists(p):
@@ -568,10 +574,24 @@ def make_handler(service: DataService):
             parts = [p for p in url.path.split("/") if p]
             q = parse_qs(url.query)
             try:
-                if not parts:  # '/' — minimal HTML frontend over the JSON API
+                if not parts:
+                    # '/' — the interactive single-page app (reference:
+                    # dashboard/templates/dashboard.html + static/js/
+                    # dashboard.js); falls back to the minimal status page
+                    # if packaged assets are missing
+                    idx = _os.path.join(_UI_DIR, "index.html")
+                    if _os.path.exists(idx):
+                        return self._send_file(idx)
                     return self._send_raw(
                         _INDEX_HTML.encode(), "text/html; charset=utf-8"
                     )
+                if parts[0] == "ui" and len(parts) >= 2:
+                    # packaged frontend assets (kept separate from the
+                    # user-configurable /static/ dir)
+                    p = _os.path.abspath(_os.path.join(_UI_DIR, *parts[1:]))
+                    if p.startswith(_UI_DIR + _os.sep) and _os.path.exists(p):
+                        return self._send_file(p)
+                    return self._send(404, {"error": "not found"})
                 if parts == ["visualizer"]:
                     if service.viewer_views is None:
                         return self._send(
@@ -627,8 +647,6 @@ def make_handler(service: DataService):
                         )
                     return self._send_file(p)
                 if len(parts) >= 2 and parts[0] == "static":
-                    import os as _os
-
                     if service.static_dir is None:
                         return self._send(404, {"error": "no static dir"})
                     root = _os.path.abspath(service.static_dir)

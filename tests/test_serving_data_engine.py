@@ -387,7 +387,9 @@ class TestDashboardSurfaceRoutes:
         ) as r:
             body = r.read().decode()
             assert r.headers["Content-Type"].startswith("text/html")
-        assert "DeepEarth" in body and "/api/health" in body
+        # '/' now serves the interactive single-page app
+        # (tests/test_dashboard_frontend.py covers it in depth)
+        assert "DeepEarth" in body and "/ui/app.js" in body
 
     def test_config_and_progress(self, full_server):
         srv, service, *_ = full_server
