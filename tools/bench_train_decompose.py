@@ -31,13 +31,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _sync(out):
+    """Force a host transfer — block_until_ready can return early over the
+    tunnel (CLAUDE.md timing lesson); floating a scalar leaf cannot."""
+    import jax
+
+    leaf = out[1] if isinstance(out, tuple) else out
+    leaves = jax.tree_util.tree_leaves(leaf)
+    scal = min(leaves, key=lambda t: getattr(t, "size", 1 << 60))
+    float(np.asarray(scal).reshape(-1)[0])
+
+
 def slope_time(fn, states, args_list, donate=True, lo=6, hi=18, reps=3):
     """states: initial state threaded through; args_list: distinct args."""
-    import jax
 
     s = states
     out = fn(s, *args_list[0])
-    jax.block_until_ready(out[1] if isinstance(out, tuple) else out)
+    _sync(out)
     s = out[0] if isinstance(out, tuple) else s
 
     def chain(s, n):
@@ -46,7 +56,7 @@ def slope_time(fn, states, args_list, donate=True, lo=6, hi=18, reps=3):
             o = fn(s, *args_list[i % len(args_list)])
             if isinstance(o, tuple):
                 s = o[0]
-        jax.block_until_ready(o[1] if isinstance(o, tuple) else o)
+        _sync(o)
         return s
 
     t = {}
@@ -145,7 +155,7 @@ def main():
             a = None
             for i in range(n):
                 a = fb(p_live, keys[i % 24])
-            jax.block_until_ready(a)
+            _sync(a)
 
         t = {}
         for n in (6, 18):
