@@ -22,6 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import DeepSeekBlockConfig
+from ..ops.quant import expert_ffn_q, linear_p
 from .mla_decode import MLACache, decode_step, init_cache
 
 
@@ -34,9 +35,11 @@ def _rms(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
 
 
 def _swiglu_apply(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
-    gate = x @ p["gate_proj"]["kernel"]
-    up = x @ p["up_proj"]["kernel"]
-    return (jax.nn.silu(gate) * up) @ p["down_proj"]["kernel"]
+    # linear_p routes through the Pallas fused-dequant kernel when the
+    # params were converted by ops.quant.quantize_decoder_params
+    gate = linear_p(p["gate_proj"], x)
+    up = linear_p(p["up_proj"], x)
+    return linear_p(p["down_proj"], jax.nn.silu(gate) * up)
 
 
 def _moe_apply(p: Dict[str, Any], cfg, x: jnp.ndarray) -> jnp.ndarray:
@@ -65,7 +68,10 @@ def _moe_apply(p: Dict[str, Any], cfg, x: jnp.ndarray) -> jnp.ndarray:
         gate.topk_idx, gate.topk_weight, n_experts=e, capacity=capacity
     )
     expert_in = jnp.einsum("sec,sd->ecd", dispatch.astype(xf.dtype), xf)
-    expert_out = expert_ffn(expert_in, p["w_gate"], p["w_up"], p["w_down"])
+    if "w_gate_q" in p:  # int8-quantized experts (ops.quant)
+        expert_out = expert_ffn_q(p, expert_in)
+    else:
+        expert_out = expert_ffn(expert_in, p["w_gate"], p["w_up"], p["w_down"])
     y = jnp.einsum("sec,ecd->sd", combine.astype(xf.dtype), expert_out)
     if cfg.n_shared_experts:
         y = y + _swiglu_apply(p["shared_experts"], xf)
@@ -114,7 +120,7 @@ def causal_lm_decode_step(
             h = h + _swiglu_apply(lp["mlp"], hn)
     h = _rms(h, mp["norm"]["weight"], cfg.rms_norm_eps)
     if "lm_head" in params:
-        logits = h @ params["lm_head"]["kernel"]
+        logits = linear_p(params["lm_head"], h)
     else:  # tied embeddings
         logits = h @ emb.T
     return logits[:, 0].astype(jnp.float32), tuple(new_caches)

@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..configs import MLAConfig
+from ..ops.quant import linear_p
 from ..ops.rope import apply_rope_deepseek, rope_cos_sin, yarn_get_mscale
 
 
@@ -91,22 +92,18 @@ def decode_step(
     nope, rope_d, vh = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim, cfg.v_head_dim
     pos = cache.length
 
-    # -- queries ---------------------------------------------------------- #
+    # -- queries (linear_p: bf16, or int8 fused-dequant when quantized) ---- #
     if cfg.q_lora_rank is None:
-        q = x_t @ params["q_proj"]["kernel"]
+        q = linear_p(params["q_proj"], x_t)
     else:
-        qa = x_t @ params["q_a_proj"]["kernel"]
-        if "bias" in params.get("q_a_proj", {}):
-            qa = qa + params["q_a_proj"]["bias"]
+        qa = linear_p(params["q_a_proj"], x_t)
         qa = _rms(qa, params["q_a_layernorm"]["weight"])
-        q = qa @ params["q_b_proj"]["kernel"]
+        q = linear_p(params["q_b_proj"], qa)
     q = q.reshape(B, 1, H, cfg.q_head_dim).transpose(0, 2, 1, 3)  # (B,H,1,qh)
     q_nope, q_pe = q[..., :nope], q[..., nope:]
 
     # -- compressed kv for the current token ------------------------------- #
-    ckv_full = x_t @ params["kv_a_proj_with_mqa"]["kernel"]
-    if "bias" in params.get("kv_a_proj_with_mqa", {}):
-        ckv_full = ckv_full + params["kv_a_proj_with_mqa"]["bias"]
+    ckv_full = linear_p(params["kv_a_proj_with_mqa"], x_t)
     ckv_t = ckv_full[..., : cfg.kv_lora_rank]  # (B, 1, r)
     kpe_t = ckv_full[..., cfg.kv_lora_rank :]  # (B, 1, rope_d)
     ckv_t = _rms(ckv_t, params["kv_a_layernorm"]["weight"])
@@ -154,9 +151,7 @@ def decode_step(
     ctx_latent = jnp.einsum("bhts,bsr->bhtr", probs, cache.ckv)  # (B,H,1,r)
     ctx = jnp.einsum("bhtr,rhv->bhtv", ctx_latent, w_v)  # (B,H,1,vh)
     out = ctx.transpose(0, 2, 1, 3).reshape(B, 1, H * vh)
-    out = out @ params["o_proj"]["kernel"]
-    if "bias" in params.get("o_proj", {}):
-        out = out + params["o_proj"]["bias"]
+    out = linear_p(params["o_proj"], out)
     return out, cache
 
 

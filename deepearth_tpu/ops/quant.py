@@ -1,0 +1,251 @@
+"""Weight-only int8 quantization with a Pallas fused-dequant matmul.
+
+Why this exists (VERDICT r2 item 8): decode at small batch is weight-bound —
+every step streams the full parameter set through HBM while the MXU idles.
+Halving weight bytes should approach 2× on that path, but XLA cannot get
+there on v5e (measured, round 2): ``dequant-then-matmul`` materializes the
+bf16 weight tensor first (1.05×), and ``int8×int8 dot_general`` with dynamic
+activation quant is 0.96× at decode shapes. The unlock is a Pallas kernel
+that keeps weights int8 all the way into VMEM and widens to bf16
+*in-register*, tile by tile, so HBM only ever sees int8 bytes.
+
+Scheme: symmetric per-output-channel absmax (scale = max|w|/127 over the
+reduction axis), the standard weight-only recipe. Works for the 2D decode
+projections (MLA q/kv/o, dense+shared SwiGLU, lm_head) and the 3D batched
+expert weights — which hold ~2.15 B of the 2.42 B decode-bench parameters,
+so quantizing MLA alone would leave the win on the table.
+
+Serving-efficiency parity target: the reference's llama.cpp-quantized
+language service (reference: README.md:29, encoders/language/server.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _ceil_to(n: int, m: int) -> int:
+    return (n + m - 1) // m * m
+
+
+def _pick_block(n: int, cands) -> Optional[int]:
+    for c in cands:
+        if n % c == 0:
+            return c
+    return None
+
+
+# --------------------------------------------------------------------------- #
+# quantization
+# --------------------------------------------------------------------------- #
+
+def quantize_int8(w: jnp.ndarray, pad_cols_to: int = 128):
+    """Symmetric per-out-channel int8 quantization of (…, D, F) weights.
+
+    Returns ``(w_q, scale)`` with ``w_q`` int8, last dim padded to a
+    multiple of ``pad_cols_to`` (lane alignment for the Pallas kernel), and
+    ``scale`` float32 of shape (…, 1, F) — UNPADDED width, which is how the
+    matmul recovers the true output size.
+    """
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    f = q.shape[-1]
+    fp = _ceil_to(f, pad_cols_to)
+    if fp != f:
+        pad = [(0, 0)] * (q.ndim - 1) + [(0, fp - f)]
+        q = jnp.pad(q, pad)
+    return q, scale
+
+
+def dequantize(w_q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Reference dequantization (fp32): inverse of :func:`quantize_int8`."""
+    f = scale.shape[-1]
+    return w_q[..., :f].astype(jnp.float32) * scale
+
+
+# --------------------------------------------------------------------------- #
+# Pallas fused-dequant matmul
+# --------------------------------------------------------------------------- #
+
+def _bmm_kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
+    """One (expert, f-tile, d-tile) grid step: widen int8→bf16 in-register,
+    MXU matmul with fp32 accumulation, scale on the last reduction step."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    acc_ref[...] += jax.lax.dot(
+        x_ref[0], w_ref[0].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] * s_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_f", "block_d", "interpret")
+)
+def int8_bmm(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    scale: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    block_f: int = 512,
+    block_d: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Batched ``x @ dequant(w_q)``: (E, C, D) × (E, D, Fp) → (E, C, F).
+
+    Weights stay int8 through HBM→VMEM; the kernel widens tiles in-register.
+    Falls back to the XLA dequant path when shapes don't tile (non-128 D).
+    """
+    e, c, d = x.shape
+    fp = w_q.shape[-1]
+    f = scale.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    bd = _pick_block(d, (block_d, 256, 128))
+    bf = _pick_block(fp, (block_f, 256, 128))
+    if bd is None or bf is None:
+        return jnp.einsum(
+            "ecd,edf->ecf", x, dequantize(w_q, scale).astype(x.dtype)
+        ).astype(out_dtype)
+
+    # sublane alignment for the bf16 x tile
+    cp = max(_ceil_to(c, 16), 16)
+    if cp != c:
+        x = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0)))
+    sp = jnp.pad(scale.astype(jnp.float32), ((0, 0), (0, 0), (0, fp - f)))
+
+    grid = (e, fp // bf, d // bd)
+    out = pl.pallas_call(
+        _bmm_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, cp, bd), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec((1, bd, bf), lambda b, i, j: (b, j, i)),
+            pl.BlockSpec((1, 1, bf), lambda b, i, j: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, cp, bf), lambda b, i, j: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((e, cp, fp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((cp, bf), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x.astype(jnp.bfloat16), w_q, sp)
+    return out[:, :c, :f]
+
+
+def int8_matmul(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    scale: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    **kw,
+) -> jnp.ndarray:
+    """``x @ dequant(w_q)`` for 2D weights; x may have any leading dims."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    y = int8_bmm(
+        x.reshape(1, -1, d), w_q[None], scale[None], out_dtype=out_dtype, **kw
+    )
+    return y.reshape(*lead, y.shape[-1])
+
+
+# --------------------------------------------------------------------------- #
+# param-tree quantization + apply helpers for the decode path
+# --------------------------------------------------------------------------- #
+
+_EXPERT_KEYS = ("w_gate", "w_up", "w_down")
+
+# kv_b_proj's kernel is reshaped into per-head W_k/W_v for projection
+# absorption (models/mla_decode.py) — it never feeds a plain matmul, so it
+# stays bf16.
+_SKIP_NAMES = frozenset({"kv_b_proj"})
+
+
+def quantize_decoder_params(
+    params: Dict[str, Any], min_dim: int = 256
+) -> Dict[str, Any]:
+    """Walk a DeepSeekForCausalLM param tree, replacing large matmul weights
+    with int8 + scale pairs that :func:`linear_p` / :func:`expert_ffn_q`
+    consume. Embeddings, norms, routers, biases and small kernels stay bf16.
+    """
+
+    def conv(node, name=""):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        done = set()
+        if all(k in node for k in _EXPERT_KEYS):
+            for k in _EXPERT_KEYS:
+                w = node[k]
+                if w.ndim == 3 and min(w.shape[-2:]) >= min_dim \
+                        and w.shape[-2] % 128 == 0:
+                    q, s = quantize_int8(w)
+                    out[k + "_q"], out[k + "_scale"] = q, s
+                    done.add(k)
+        if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2 \
+                and name not in _SKIP_NAMES:
+            w = node["kernel"]
+            if min(w.shape) >= min_dim and w.shape[0] % 128 == 0:
+                q, s = quantize_int8(w)
+                out["kernel_q"], out["scale"] = q, s  # s: (1, F)
+                done.add("kernel")
+        for k, v in node.items():
+            if k in done:
+                continue
+            out[k] = conv(v, k) if isinstance(v, dict) else v
+        return out
+
+    return conv(params)
+
+
+def linear_p(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
+    """Dense layer from a param dict that may hold bf16 or int8 weights."""
+    if "kernel_q" in p:
+        y = int8_matmul(x, p["kernel_q"], p["scale"], out_dtype=x.dtype)
+    else:
+        y = x @ p["kernel"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def expert_ffn_q(p: Dict[str, Any], expert_in: jnp.ndarray) -> jnp.ndarray:
+    """Batched SwiGLU expert MLP over int8 weights (decode path twin of
+    ops.moe.expert_ffn)."""
+    gate = int8_bmm(expert_in, p["w_gate_q"], p["w_gate_scale"],
+                    out_dtype=expert_in.dtype)
+    up = int8_bmm(expert_in, p["w_up_q"], p["w_up_scale"],
+                  out_dtype=expert_in.dtype)
+    h = jax.nn.silu(gate) * up
+    return int8_bmm(h, p["w_down_q"], p["w_down_scale"],
+                    out_dtype=expert_in.dtype)
+
+
+def quantized_bytes(params: Dict[str, Any]) -> Dict[str, int]:
+    """Weight-byte accounting: how much of the tree the int8 path covers."""
+    tot = q = 0
+    for path, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        if not hasattr(leaf, "nbytes"):
+            continue
+        name = str(path[-1])
+        tot += leaf.nbytes
+        if "_q" in name or "kernel_q" in name:
+            q += leaf.nbytes
+    return {"total_bytes": int(tot), "int8_bytes": int(q)}

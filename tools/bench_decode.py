@@ -91,32 +91,57 @@ def main():
         "batches": {},
     }
 
-    for B in (1, 8, 32):
-        ids = jax.random.randint(jax.random.PRNGKey(B), (B, S), 0, VOCAB)
-        t0 = time.perf_counter()
-        toks = generate(params, cfg, ids, max_new_tokens=T,
-                        cache_dtype=jnp.bfloat16)
-        np.asarray(toks)
-        compile_s = time.perf_counter() - t0
-        reps = []
-        for r in range(4):
-            ids_r = jax.random.randint(
-                jax.random.PRNGKey(100 + B + r), (B, S), 0, VOCAB
-            )
+    def bench(p, tag):
+        out = {}
+        for B in (1, 8, 32):
+            ids = jax.random.randint(jax.random.PRNGKey(B), (B, S), 0, VOCAB)
             t0 = time.perf_counter()
-            toks = generate(params, cfg, ids_r, max_new_tokens=T,
+            toks = generate(p, cfg, ids, max_new_tokens=T,
                             cache_dtype=jnp.bfloat16)
             np.asarray(toks)
-            reps.append(time.perf_counter() - t0)
-        dt = float(np.median(sorted(reps)[:2]))
-        results["batches"][str(B)] = {
-            "wall_s": round(dt, 3),
-            "decode_tokens_per_s": round(B * T / dt, 1),
-            "sequential_steps_per_s": round((S + T) / dt, 1),
-            "ms_per_step": round(dt / (S + T) * 1e3, 3),
-            "compile_s": round(compile_s, 1),
-        }
-        log(f"B={B}: {results['batches'][str(B)]}")
+            compile_s = time.perf_counter() - t0
+            reps = []
+            for r in range(4):
+                ids_r = jax.random.randint(
+                    jax.random.PRNGKey(100 + B + r), (B, S), 0, VOCAB
+                )
+                t0 = time.perf_counter()
+                toks = generate(p, cfg, ids_r, max_new_tokens=T,
+                                cache_dtype=jnp.bfloat16)
+                np.asarray(toks)
+                reps.append(time.perf_counter() - t0)
+            dt = float(np.median(sorted(reps)[:2]))
+            out[str(B)] = {
+                "wall_s": round(dt, 3),
+                "decode_tokens_per_s": round(B * T / dt, 1),
+                "sequential_steps_per_s": round((S + T) / dt, 1),
+                "ms_per_step": round(dt / (S + T) * 1e3, 3),
+                "compile_s": round(compile_s, 1),
+            }
+            log(f"{tag} B={B}: {out[str(B)]}")
+        return out
+
+    results["batches"] = bench(params, "bf16")
+
+    # -- int8 weight-only variant (ops/quant.py Pallas fused-dequant) ------ #
+    from deepearth_tpu.ops.quant import quantize_decoder_params, quantized_bytes
+
+    qp = jax.jit(quantize_decoder_params)(params)
+    jax.block_until_ready(qp)
+    cov = quantized_bytes(qp)
+    results["int8"] = {
+        "int8_weight_fraction": round(cov["int8_bytes"] / cov["total_bytes"], 3),
+        "weight_bytes_bf16": int(
+            sum(l.nbytes for l in jax.tree_util.tree_leaves(params))
+        ),
+        "weight_bytes_int8_tree": cov["total_bytes"],
+        "batches": bench(qp, "int8"),
+    }
+    for B in ("1", "8", "32"):
+        results["int8"]["batches"][B]["speedup_vs_bf16"] = round(
+            results["batches"][B]["wall_s"]
+            / results["int8"]["batches"][B]["wall_s"], 3,
+        )
 
     with open(OUT, "w") as f:
         json.dump(results, f, indent=2)
