@@ -44,6 +44,22 @@ def dot_product_attention(
     Returns:
         (B, H, Nq, Dv) in q's dtype; softmax computed in float32.
     """
+    # Mid-length sequences (the S=576 trainable-flagship vision path) route
+    # to the VMEM-resident Pallas kernel: scores never touch HBM, fwd+bwd
+    # (ops/attention_vmem.py). Short sequences (fusion's ~22 universal
+    # tokens) and causal/biased paths stay on the XLA einsum formulation;
+    # S>1024 uses the flash kernel via the MLAttention gate.
+    import jax
+
+    from .attention_vmem import supported, vmem_attention
+
+    if (
+        supported(q.shape[2], k.shape[2], q.shape[3], v.shape[3],
+                  is_causal, attn_bias is not None)
+        and jax.default_backend() == "tpu"
+    ):
+        return vmem_attention(q, k, v, scale=scale, key_mask=key_mask)
+
     scores = jnp.einsum(
         "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * jnp.float32(scale)

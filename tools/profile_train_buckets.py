@@ -1,0 +1,270 @@
+"""Bucketed device-time attribution for the 1.53B train step (B=32).
+
+VERDICT r2 weak #1 follow-up: the batch-scaling asymptote says fwd+bwd runs
+at ~67% MFU at B=32, and amortizing the fixed optimizer sweep can never
+reach the 65% target by itself — the remaining headroom is *inside* the
+fwd/bwd program. PROFILE_TRAIN.json's flat `fusion.NNNN` histogram cannot
+say where that time goes.
+
+This tool joins the jax.profiler device lane with the compiled HLO's
+per-instruction metadata (op_name scope paths + source_file), attributing
+each fusion's time to a semantic bucket:
+
+    attention / moe / encoder-other / fusion-transformer / grid4d /
+    optimizer / loss+masking / norms / copies / other
+
+For fusions it uses the dominant constituent op (first dot, else the most
+common source file among fused instructions).
+
+Writes PROFILE_TRAIN_BUCKETS.json.
+Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/profile_train_buckets.py
+"""
+
+from __future__ import annotations
+
+import collections
+import glob
+import gzip
+import json
+import os
+import re
+import sys
+import tempfile
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+OUT = os.path.join(REPO, "PROFILE_TRAIN_BUCKETS.json")
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# ---------------------------------------------------------------------------
+# HLO metadata extraction
+# ---------------------------------------------------------------------------
+
+_META = re.compile(r'metadata={[^}]*?op_name="([^"]*)"(?:[^}]*?source_file="([^"]*)")?')
+_INSTR = re.compile(r"^\s+(?:ROOT\s+)?%?([a-zA-Z0-9_.-]+)\s*=\s*\S+\s+([a-z-]+)")
+_COMP = re.compile(r"^(?:ENTRY\s+)?%?([a-zA-Z0-9_.-]+)\s+(?:\([^)]*\)\s*->|\{)")
+_CALLS = re.compile(r"calls=%?([a-zA-Z0-9_.-]+)")
+
+
+def parse_hlo(text: str):
+    """name -> (opcode, op_name, source_file, calls) for every instruction,
+    plus computation -> [instruction names]."""
+    instrs = {}
+    comp_members = collections.defaultdict(list)
+    cur_comp = None
+    for line in text.splitlines():
+        if not line.startswith((" ", "\t")):
+            m = _COMP.match(line)
+            if m:
+                cur_comp = m.group(1)
+            continue
+        m = _INSTR.match(line)
+        if not m:
+            continue
+        name, opcode = m.group(1), m.group(2)
+        mm = _META.search(line)
+        op_name = mm.group(1) if mm else ""
+        src = (mm.group(2) if mm and mm.group(2) else "")
+        cm = _CALLS.search(line)
+        calls = cm.group(1) if cm else None
+        instrs[name] = (opcode, op_name, src, calls)
+        if cur_comp:
+            comp_members[cur_comp].append(name)
+    return instrs, comp_members
+
+
+BUCKET_RULES = [
+    # (bucket, regex over op_name lowered)
+    ("optimizer", re.compile(r"optimizers?\.py|adamw|global_norm|clip")),
+    ("loss+masking", re.compile(r"losses\.py|masking\.py|loss")),
+    ("attention", re.compile(
+        r"attention|attn|mla|softmax|flash|rope|rotary|query|key_value|/kv_")),
+    ("moe", re.compile(r"moe|expert|router|gate|dispatch")),
+    ("grid4d", re.compile(r"grid4d|hash_enc")),
+    ("norms", re.compile(r"norm")),
+    ("encoder", re.compile(r"universaltokenencoder|encoders?\.py|in_proj|"
+                           r"modality|patch")),
+    ("fusion-transformer", re.compile(r"deepseek|fusion|transformer|mlp|swiglu")),
+]
+
+
+def classify(op_name: str, src: str) -> str:
+    s = (op_name + " " + src).lower()
+    for bucket, pat in BUCKET_RULES:
+        if pat.search(s):
+            return bucket
+    return "other"
+
+
+def build_attribution(instrs, comp_members):
+    """event-name -> (bucket, representative op_name)."""
+    attr = {}
+    for name, (opcode, op_name, src, calls) in instrs.items():
+        rep_op, rep_src = op_name, src
+        if opcode == "fusion" and calls and calls in comp_members:
+            members = [instrs[n] for n in comp_members[calls] if n in instrs]
+            dots = [t for t in members if t[0] in ("dot", "convolution")]
+            if dots:
+                rep_op, rep_src = dots[0][1], dots[0][2]
+            else:
+                # most common non-empty (op_name, src) pair
+                cnt = collections.Counter(
+                    (t[1], t[2]) for t in members if t[1] or t[2]
+                )
+                if cnt:
+                    rep_op, rep_src = cnt.most_common(1)[0][0]
+        if opcode in ("copy", "copy-start", "copy-done", "bitcast"):
+            attr[name] = ("copies", rep_op)
+        else:
+            attr[name] = (classify(rep_op, rep_src), rep_op)
+    return attr
+
+
+# ---------------------------------------------------------------------------
+# trace parsing (same lane logic as profile_flagship.parse_device_lane)
+# ---------------------------------------------------------------------------
+
+def parse_device_events(trace_dir: str):
+    paths = sorted(glob.glob(
+        os.path.join(trace_dir, "plugins/profile/*/*.trace.json.gz")
+    ))
+    with gzip.open(paths[-1]) as f:
+        t = json.load(f)
+    pids = {
+        e["pid"]: e["args"].get("name")
+        for e in t["traceEvents"]
+        if e.get("ph") == "M" and e.get("name") == "process_name"
+    }
+    agg = collections.defaultdict(lambda: [0.0, 0])
+    total = 0.0
+    for e in t["traceEvents"]:
+        if e.get("ph") != "X" or not str(pids.get(e["pid"], "")).startswith(
+            "/device:"
+        ):
+            continue
+        name = e.get("name", "?")
+        if name.startswith("jit_") or name.replace(".", "").isdigit():
+            continue  # envelopes double-count
+        dur_ms = e.get("dur", 0) / 1e3
+        agg[name][0] += dur_ms
+        agg[name][1] += 1
+        total += dur_ms
+    return total, agg
+
+
+def main():
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    log(f"devices: {jax.devices()}")
+
+    from bench_flagship import build_model, make_batch
+    from deepearth_tpu.training import LossWeights, create_optimizer, make_train_step
+    from deepearth_tpu.training.trainer import TrainState
+
+    B, SV, SL = (int(sys.argv[1]) if len(sys.argv) > 1 else 32), 576, 16
+    cfg, model = build_model(moe_experts=4, moe_intermediate=1024, n_layers=10)
+    batch = make_batch(jax.random.PRNGKey(0), B, SV, SL)
+    params = model.init(jax.random.PRNGKey(1), batch)["params"]
+    state = TrainState.create(
+        apply_fn=model.apply, params=params, tx=create_optimizer(cfg.optimizer)
+    )
+    del params
+    step = jax.jit(
+        make_train_step(model, cfg, LossWeights(contrastive=0.0)),
+        donate_argnums=(0,),
+    )
+
+    # --- compiled HLO with metadata (AOT on abstract args: same pipeline,
+    #     deterministic instruction names) --------------------------------- #
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+        if hasattr(x, "dtype") else x,
+        (state, batch, jax.random.PRNGKey(0)),
+    )
+    log("lowering + compiling for HLO text...")
+    compiled = step.lower(*abstract).compile()
+    hlo = compiled.as_text()
+    log(f"HLO text: {len(hlo)/1e6:.1f} MB")
+    instrs, comps = parse_hlo(hlo)
+    attr = build_attribution(instrs, comps)
+    log(f"parsed {len(instrs)} instructions, {len(comps)} computations")
+
+    # --- profile ---------------------------------------------------------- #
+    def run(s):
+        out = step(s, batch, jax.random.PRNGKey(0))
+        float(np.asarray(out[1]["loss/total"]))
+        return out[0]
+
+    state = run(state)  # compile + warm
+    reps = 3
+    with tempfile.TemporaryDirectory() as td:
+        with jax.profiler.trace(td):
+            for _ in range(reps):
+                state = run(state)
+        total, agg = parse_device_events(td)
+
+    # --- join ------------------------------------------------------------- #
+    buckets = collections.defaultdict(float)
+    bucket_ops = collections.defaultdict(list)
+    unmatched = 0.0
+    for name, (ms, calls) in agg.items():
+        key = name
+        if key not in attr:
+            # trace sometimes appends launch suffixes
+            key = key.split(":")[0]
+        if key in attr:
+            b, rep = attr[key]
+            buckets[b] += ms
+            bucket_ops[b].append((ms / reps, name, rep[:160]))
+        else:
+            buckets["unattributed"] += ms
+            bucket_ops["unattributed"].append((ms / reps, name, ""))
+            unmatched += ms
+
+    rows = {
+        b: {
+            "total_ms": round(v / reps, 2),
+            "share": round(v / total, 4),
+            "top": [
+                {"ms": round(m, 3), "op": n, "scope": s}
+                for m, n, s in sorted(bucket_ops[b], reverse=True)[:8]
+            ],
+        }
+        for b, v in sorted(buckets.items(), key=lambda kv: -kv[1])
+    }
+    result = {
+        "what": f"1.53B train step batch {B}, bucketed device time "
+                f"(jax.profiler x HLO metadata, avg of {reps})",
+        "device_total_ms": round(total / reps, 2),
+        "unattributed_ms": round(unmatched / reps, 2),
+        "buckets": rows,
+    }
+    with open(OUT, "w") as f:
+        json.dump(result, f, indent=2)
+    # full per-op dump (>=0.05 ms) for offline analysis
+    allops = [
+        {"ms": round(m, 3), "bucket": b, "op": n, "scope": s}
+        for b, ops in bucket_ops.items()
+        for m, n, s in ops if m >= 0.05
+    ]
+    allops.sort(key=lambda r: -r["ms"])
+    with open(OUT.replace("BUCKETS", "OPS"), "w") as f:
+        json.dump(allops, f, indent=1)
+    log(f"wrote {OUT} (+OPS dump, {len(allops)} ops)")
+    print(json.dumps({b: r["total_ms"] for b, r in rows.items()}))
+
+
+if __name__ == "__main__":
+    main()
