@@ -118,10 +118,15 @@ def decode_step(
         kpe_t[:, None], cos_t, sin_t
     )[:, 0].astype(ckv_t.dtype)  # (B, 1, rope_d)
 
-    # -- cache update ------------------------------------------------------- #
+    # -- cache update (cast to the cache dtype: params may be bf16 while
+    # the cache is kept fp32, or vice versa) -------------------------------- #
     cache = MLACache(
-        ckv=jax.lax.dynamic_update_slice_in_dim(cache.ckv, ckv_t, pos, axis=1),
-        k_pe=jax.lax.dynamic_update_slice_in_dim(cache.k_pe, kpe_t, pos, axis=1),
+        ckv=jax.lax.dynamic_update_slice_in_dim(
+            cache.ckv, ckv_t.astype(cache.ckv.dtype), pos, axis=1
+        ),
+        k_pe=jax.lax.dynamic_update_slice_in_dim(
+            cache.k_pe, kpe_t.astype(cache.k_pe.dtype), pos, axis=1
+        ),
         length=pos + 1,
     )
 

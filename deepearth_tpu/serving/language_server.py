@@ -17,6 +17,7 @@ concurrency discipline (reference: encoders/language/server.py:27).
 
 from __future__ import annotations
 
+import functools
 import hashlib
 import json
 import os
@@ -98,7 +99,8 @@ class DeepSeekFlaxEmbedder:
     ``embedding=True`` semantics).
     """
 
-    def __init__(self, params, cfg, vocab_size: int, tokenizer=None):
+    def __init__(self, params, cfg, vocab_size: int, tokenizer=None,
+                 quantize_int8: bool = False, quant_min_dim: int = 256):
         import jax
         import jax.numpy as jnp
 
@@ -109,6 +111,20 @@ class DeepSeekFlaxEmbedder:
         self.dim = cfg.hidden_dim
         self.params = jax.tree_util.tree_map(np.asarray, params)
         self.tokenizer = tokenizer or HashEmbedder(dim=cfg.hidden_dim)
+        # int8 weight-only decode (serving parity with the reference's
+        # quantized llama.cpp service): generation runs over a second,
+        # int8 tree through the Pallas fused-dequant kernel — measured
+        # 1.29-1.41× decode (BENCH_DECODE.json) at ~0.5× weight bytes.
+        # The embed path keeps the bf16 tree (flax apply needs it), so
+        # enabling this costs ~1.5× total weight memory.
+        self.gen_params = self.params
+        if quantize_int8:
+            from ..ops.quant import quantize_decoder_params
+
+            self.gen_params = jax.jit(
+                functools.partial(quantize_decoder_params,
+                                  min_dim=quant_min_dim)
+            )(self.params)
 
         def hidden(p, ids, mask):
             emb = p["embed_tokens"]["embedding"][ids]
@@ -121,11 +137,13 @@ class DeepSeekFlaxEmbedder:
         self._hidden = jax.jit(hidden)
 
     @classmethod
-    def from_checkpoint(cls, path: str, hf_config=None, tokenizer=None):
+    def from_checkpoint(cls, path: str, hf_config=None, tokenizer=None,
+                        quantize_int8: bool = False):
         from ..models.hf_convert import load_hf_checkpoint
 
         params, cfg, vocab = load_hf_checkpoint(path, hf_config)
-        return cls(params, cfg, vocab, tokenizer)
+        return cls(params, cfg, vocab, tokenizer,
+                   quantize_int8=quantize_int8)
 
     def tokenize(self, text: str) -> List[int]:
         if hasattr(self.tokenizer, "tokenize"):
@@ -174,7 +192,7 @@ class DeepSeekFlaxEmbedder:
             seed = int.from_bytes(os.urandom(4), "little")
             rng = jax.random.PRNGKey(seed)
         toks = _generate(
-            self.params, self.cfg, ids_arr, n_bucket,
+            self.gen_params, self.cfg, ids_arr, n_bucket,
             temperature=temperature, rng=rng,
             max_len=pad_to + n_bucket, prompt_len=prompt_len,
         )

@@ -40,6 +40,12 @@ import jax.numpy as jnp
 import optax
 
 
+# leaves at or below this many elements are swept as one concatenated vector
+# per dtype combo (see update_fn); 2^17 elems = 0.5 MB fp32 — big enough to
+# catch every norm/bias/router, far below any matmul kernel
+_SMALL_LEAF_ELEMS = 1 << 17
+
+
 class _FactoredNu(NamedTuple):
     """Row/col second-moment factors for one >=2D parameter."""
 
@@ -150,7 +156,43 @@ def fused_adamw(
         flat_mu = treedef.flatten_up_to(state.mu)
         flat_nu = treedef.flatten_up_to(state.nu)
         flat_p = treedef.flatten_up_to(params)
-        out = [leaf(*args) for args in zip(flat_g, flat_mu, flat_nu, flat_p)]
+
+        # Small non-factored leaves (norm weights, biases, routers — hundreds
+        # of them on the flagship) each cost one tiny launch-bound XLA fusion
+        # if swept individually (~8 ms of sub-50 µs ops in the profiled train
+        # step, PROFILE_TRAIN_OPS.json). Sweep each (dtype-combo) group as ONE
+        # concatenated vector instead — elementwise math is identical.
+        small = [
+            i for i in range(len(flat_g))
+            if not isinstance(flat_nu[i], _FactoredNu)
+            and flat_g[i].size <= _SMALL_LEAF_ELEMS
+        ]
+        groups: dict = {}
+        for i in small:
+            key = (flat_g[i].dtype.name, flat_mu[i].dtype.name,
+                   flat_nu[i].dtype.name, flat_p[i].dtype.name)
+            groups.setdefault(key, []).append(i)
+
+        out: list = [None] * len(flat_g)
+        for idxs in groups.values():
+            cat = lambda xs: jnp.concatenate([xs[i].ravel() for i in idxs])
+            u, mu_n, nu_n = leaf(
+                cat(flat_g), cat(flat_mu), cat(flat_nu), cat(flat_p)
+            )
+            off = 0
+            for i in idxs:
+                n = flat_g[i].size
+                shp = flat_g[i].shape
+                out[i] = (
+                    u[off : off + n].reshape(shp),
+                    mu_n[off : off + n].reshape(shp),
+                    nu_n[off : off + n].reshape(shp),
+                )
+                off += n
+        for i in range(len(flat_g)):
+            if out[i] is None:
+                out[i] = leaf(flat_g[i], flat_mu[i], flat_nu[i], flat_p[i])
+
         updates = treedef.unflatten([o[0] for o in out])
         new_mu = treedef.unflatten([o[1] for o in out])
         new_nu = treedef.unflatten([o[2] for o in out])

@@ -202,6 +202,25 @@ class TestQuantizedDecode:
         t = np.asarray(toks)
         assert t.shape == (1, 4) and (t >= 0).all() and (t < 256).all()
 
+    def test_embedder_quantize_int8_serving_path(self, lm):
+        """DeepSeekFlaxEmbedder(quantize_int8=True): generation runs over
+        the int8 tree, embeddings over the bf16 tree (serving parity with
+        the reference's quantized llama.cpp service)."""
+        from deepearth_tpu.serving.language_server import DeepSeekFlaxEmbedder
+
+        cfg, params = lm
+        full = {"embed_tokens": params["embed_tokens"],
+                "model": params["model"], "lm_head": params["lm_head"]}
+        e_bf16 = DeepSeekFlaxEmbedder(full, cfg, 256)
+        e_int8 = DeepSeekFlaxEmbedder(full, cfg, 256, quantize_int8=True,
+                                      quant_min_dim=64)
+        assert "kernel_q" in e_int8.gen_params["lm_head"]
+        v1 = e_bf16.embed("quercus virginiana")
+        v2 = e_int8.embed("quercus virginiana")
+        np.testing.assert_allclose(v1, v2)  # embed path untouched
+        toks = e_int8.generate("live oak", max_new_tokens=4)
+        assert len(toks) == 4 and all(0 <= t < 256 for t in toks)
+
     def test_linear_p_bias_and_bf16_passthrough(self):
         w = jax.random.normal(jax.random.PRNGKey(8), (16, 8))
         b = jnp.ones((8,))

@@ -82,8 +82,28 @@ def flops_of(jitted, *args) -> float:
         return float("nan")
 
 
+def pallas_attn_flops(B, *, H=8, S=576, dh=128, layers=2, bwd=False,
+                      remat=False) -> float:
+    """Executed MXU flops inside the Pallas attention kernels, which XLA's
+    cost analysis cannot see (custom-call boundary) — without this the
+    reported MFU silently understates whenever attention runs in Pallas
+    (flash at S=4608, VMEM kernel at S=576).
+
+    fwd = QKᵀ + PV = 2 matmuls; the VMEM backward recomputes scores and
+    runs dp/dq/dk/dv → 5 matmuls = 2.5× fwd. Sk counts the kernel's
+    128-padding (those MACs execute). encoder remat re-runs fwd once more.
+    """
+    skp = ((S + 127) // 128) * 128
+    fwd = layers * 4.0 * B * H * S * skp * dh
+    total = fwd * (2 if remat else 1)
+    if bwd:
+        total += 2.5 * fwd
+    return total
+
+
 def build_model(moe_experts=8, moe_intermediate=2048, n_layers=24,
-                second_moment="factored", encoder_remat=False):
+                second_moment="factored", encoder_remat=False,
+                fusion_remat=False):
     import jax.numpy as jnp
 
     from deepearth_tpu.configs import integrated_config
@@ -115,6 +135,8 @@ def build_model(moe_experts=8, moe_intermediate=2048, n_layers=24,
     if encoder_remat:
         for m in cfg.modalities.values():
             m.encoder_remat = True
+    if fusion_remat:
+        cfg.fusion = dataclasses.replace(cfg.fusion, remat=True)
     from deepearth_tpu.models import DeepEarthModel
 
     return cfg, DeepEarthModel(cfg)
@@ -156,7 +178,14 @@ def bench_forward(results):
     sync = lambda o: float(np.asarray(o))  # noqa: E731
     dt, t_raw, t_noop = timed_subtracted(fwd, noop, (params, batch), sync)
     flops = flops_of(fwd, params, batch)
-    mfu = flops / dt / V5E_BF16_PEAK_FLOPS if np.isfinite(flops) else None
+    # flash attention (S=4608 vision self-attn) runs in Pallas — invisible
+    # to cost_analysis; add its executed matmul flops explicitly
+    p_flops = pallas_attn_flops(B, S=SV)
+    total_flops = flops + p_flops if np.isfinite(flops) else float("nan")
+    mfu = (
+        total_flops / dt / V5E_BF16_PEAK_FLOPS
+        if np.isfinite(total_flops) else None
+    )
     tokens = B * (1 + 1 + 16 + 4)  # cls + spacetime + vision + language universal tokens
     res = {
         "params_b": round(n_params / 1e9, 3),
@@ -166,6 +195,7 @@ def bench_forward(results):
         "universal_tokens_per_s": round(tokens / dt, 1),
         "native_patches_per_s": round(B * SV / dt, 1),
         "hlo_flops": flops if np.isfinite(flops) else None,
+        "pallas_attn_flops": p_flops,
         "mfu": round(mfu, 4) if mfu else None,
         "raw_s": round(t_raw, 3), "io_noop_s": round(t_noop, 3),
     }
@@ -175,7 +205,7 @@ def bench_forward(results):
     return res
 
 
-def bench_train(results, batches=(8, 16, 32, 64)):
+def bench_train(results, batches=(8, 16, 32, 64, 96, 128)):
     """Largest single-chip trainable flagship-shaped config, batch-scaled.
 
     The per-step cost is fixed ≈ 38 ms (adamw HBM physics: clip-norm +
@@ -204,10 +234,12 @@ def bench_train(results, batches=(8, 16, 32, 64)):
 
     for B in batches:
         # remat the per-modality encoders only when activations are what
-        # stops the batch from fitting (B=64 failed compile in round 2)
+        # stops the batch from fitting (B=64 failed compile in round 2);
+        # B>=96 additionally remats the fusion stack (measured: B=96 OOMs
+        # with encoder remat alone, EXP_MFU_SWEEP2.json)
         cfg, model = build_model(
             moe_experts=4, moe_intermediate=1024, n_layers=10,
-            encoder_remat=(B >= 64),
+            encoder_remat=(B >= 64), fusion_remat=(B >= 96),
         )
         try:
             batch = make_batch(jax.random.PRNGKey(0), B, SV, SL)
@@ -257,7 +289,16 @@ def bench_train(results, batches=(8, 16, 32, 64)):
             t_step, state = t_loop(step, state)
             t_noop, state = t_loop(noop, state)
             dt = max(t_step - t_noop, 1e-4)
-            mfu = flops / dt / V5E_BF16_PEAK_FLOPS if np.isfinite(flops) else None
+            # VMEM attention kernel (S=576 self-attn, fwd+bwd) runs in
+            # Pallas — invisible to cost_analysis; count it explicitly
+            p_flops = pallas_attn_flops(B, S=SV, bwd=True, remat=(B >= 64))
+            total_flops = (
+                flops + p_flops if np.isfinite(flops) else float("nan")
+            )
+            mfu = (
+                total_flops / dt / V5E_BF16_PEAK_FLOPS
+                if np.isfinite(total_flops) else None
+            )
             res = {
                 "params_b": round(n_params / 1e9, 3),
                 "batch": B, "vision_seq": SV,
@@ -265,6 +306,7 @@ def bench_train(results, batches=(8, 16, 32, 64)):
                 "obs_per_s": round(B / dt, 1),
                 "native_patches_per_s": round(B * SV / dt, 1),
                 "hlo_flops": flops if np.isfinite(flops) else None,
+                "pallas_attn_flops": p_flops,
                 "mfu": round(mfu, 4) if mfu else None,
                 "raw_s": round(t_step, 3), "io_noop_s": round(t_noop, 3),
             }

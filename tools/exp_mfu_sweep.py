@@ -29,6 +29,7 @@ from bench_flagship import (  # noqa: E402
     flops_of,
     log,
     make_batch,
+    pallas_attn_flops,
 )
 
 OUT = os.path.join(
@@ -94,7 +95,13 @@ def run_variant(tag, *, n_layers, B, encoder_remat, fusion_remat=False,
     t_step, state = t_loop(step, state)
     t_noop, state = t_loop(noop, state)
     dt = max(t_step - t_noop, 1e-4)
-    mfu = flops / dt / V5E_BF16_PEAK_FLOPS if np.isfinite(flops) else None
+    # Pallas VMEM attention flops are invisible to cost_analysis
+    p_flops = pallas_attn_flops(B, S=SV, bwd=True, remat=encoder_remat)
+    total_flops = flops + p_flops if np.isfinite(flops) else float("nan")
+    mfu = (
+        total_flops / dt / V5E_BF16_PEAK_FLOPS
+        if np.isfinite(total_flops) else None
+    )
     res = {
         "params_b": round(n_params / 1e9, 3),
         "n_layers": n_layers, "batch": B,
@@ -102,6 +109,7 @@ def run_variant(tag, *, n_layers, B, encoder_remat, fusion_remat=False,
         "step_ms": round(dt * 1e3, 2),
         "obs_per_s": round(B / dt, 1),
         "hlo_flops": flops if np.isfinite(flops) else None,
+        "pallas_attn_flops": p_flops,
         "mfu": round(mfu, 4) if mfu else None,
     }
     log(f"[{tag}] {res}")
