@@ -2,9 +2,11 @@
 
 The reference projects embeddings with disk-cached UMAP reducers
 (reference: dashboard/umap_optimized.py:24-132, encoders/language/
-umap_processor.py). umap-learn isn't in this image, so the projector uses
-PCA (fast, deterministic) or t-SNE (sklearn) with the same disk-cache
-behaviour; if umap-learn appears on the path it is used transparently.
+umap_processor.py). umap-learn isn't in this image, so 'umap' resolves to
+the self-contained implementation in utils/umap_native.py (same algorithm,
+no numba); if umap-learn appears on the path it is used transparently.
+PCA and t-SNE remain available as explicit methods, with the same
+disk-cache behaviour for all three.
 """
 
 from __future__ import annotations
@@ -36,12 +38,9 @@ class EmbeddingProjector:
     def _resolve_method(self) -> str:
         if self.method != "auto":
             return self.method
-        try:
-            import umap  # noqa: F401
-
-            return "umap"
-        except ImportError:
-            return "pca"
+        # 'umap' always resolves: umap-learn when installed, else the
+        # native implementation (utils/umap_native.py).
+        return "umap"
 
     def _cache_path(self, x: np.ndarray, method: str) -> Optional[str]:
         if not self.cache_dir:
@@ -61,10 +60,15 @@ class EmbeddingProjector:
                 return pickle.load(f)
 
         if method == "umap":
-            import umap
+            try:
+                import umap
+            except ImportError:
+                from . import umap_native as umap
 
             out = umap.UMAP(
-                n_components=self.n_components, random_state=self.random_state
+                n_components=self.n_components,
+                random_state=self.random_state,
+                n_neighbors=min(15, max(2, len(x) - 1)),
             ).fit_transform(x)
         elif method == "tsne":
             from sklearn.manifold import TSNE
