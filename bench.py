@@ -24,7 +24,10 @@ import time
 
 import numpy as np
 
-BATCH = 256
+# Throughput-optimal batch from the on-chip sweep (EXP_ASTACK_BATCH.json):
+# 11.8k obs/s @256 -> 15.0k @512 -> 17.7k @1024 -> 18.0k @2048 (plateau).
+# 1024 takes ~98% of the plateau at half the activation memory.
+BATCH = 1024
 STEPS = 30
 WARMUP = 5
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE_CPU.json")
@@ -181,8 +184,12 @@ def bench_reference_cpu() -> float:
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        # invalidate caches measured at a different table size
-        if cached.get("hash_table_size", 2 ** 17) == HASH_TABLE_SIZE:
+        # invalidate caches measured at a different table size or batch
+        # (per-obs CPU throughput shifts with batch; compare same-batch)
+        if (
+            cached.get("hash_table_size", 2 ** 17) == HASH_TABLE_SIZE
+            and cached.get("batch", 256) == BATCH
+        ):
             return cached["obs_per_s"]
     try:
         sys.path.insert(0, "/root/reference")
@@ -259,6 +266,7 @@ def bench_reference_cpu() -> float:
                 {
                     "obs_per_s": obs_per_s,
                     "hash_table_size": HASH_TABLE_SIZE,
+                    "batch": BATCH,
                     "what": "torch CPU reference A-stack fwd+bwd+adam, batch "
                     f"{BATCH} (models/{{encoders,transformers,decoders}}.py)",
                 },
@@ -297,7 +305,7 @@ def main():
     detail = {
         "obs_per_s": round(ours["obs_per_s"], 1),
         "hash_table_size": HASH_TABLE_SIZE,
-        "p50_forward_ms_batch256": round(ours["p50_forward_ms"], 2),
+        f"p50_forward_ms_batch{BATCH}": round(ours["p50_forward_ms"], 2),
         "reference_cpu_obs_per_s": (
             round(baseline_obs_s, 1) if np.isfinite(baseline_obs_s) else None
         ),
