@@ -66,6 +66,50 @@ def hash_grid_indices(
     return h % jnp.uint32(table_size)
 
 
+@jax.custom_vjp
+def _packed_gather(tflat: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """F=2 lane-packed table gather with a hand-written transpose.
+
+    Forward packs the (LT, 2) f32 table into one complex64 vector so each
+    point costs a single gather transaction (the measured XLA gather
+    ceiling is ~100-140 M/s regardless of layout; a (LT, 2) row gather
+    pads rows to 128 lanes and is 40-60x worse).
+
+    Backward does NOT transpose the complex gather: XLA's complex64
+    scatter-add runs at ~8.7 M updates/s on v5e, 6x slower than two
+    scalar f32 scatter-adds over the same indices (50.9 M upd/s,
+    measured — width-1 scatters are the fastest layout; width-2 f32 rows
+    are 2x slower, width-8 rows 4x slower). At the headline A-stack shape
+    this custom VJP cuts the hash-table gradient from 15.1 ms to 2.6 ms.
+
+    Args:
+        tflat: (LT, 2) float32 flattened level-stacked tables.
+        idx: (L, N) int32 flat table indices.
+
+    Returns:
+        (2, L, N) float32 gathered features.
+    """
+    packed = jax.lax.complex(tflat[:, 0], tflat[:, 1])
+    g = packed[idx]
+    return jnp.stack([jnp.real(g), jnp.imag(g)])
+
+
+def _packed_gather_fwd(tflat, idx):
+    return _packed_gather(tflat, idx), (idx, tflat.shape[0])
+
+
+def _packed_gather_bwd(res, d):
+    idx, LT = res
+    fi = idx.reshape(-1)
+    d = d.astype(jnp.float32)
+    g0 = jnp.zeros((LT,), jnp.float32).at[fi].add(d[0].reshape(-1))
+    g1 = jnp.zeros((LT,), jnp.float32).at[fi].add(d[1].reshape(-1))
+    return jnp.stack([g0, g1], axis=-1), None
+
+
+_packed_gather.defvjp(_packed_gather_fwd, _packed_gather_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("interpolation", "table_size"))
 def hash_encode(
     coords: jnp.ndarray,
@@ -124,13 +168,13 @@ def hash_encode(
         return (h + level_offset).astype(jnp.int32)
 
     if F == 2:
-        # pack feature pairs: one gather transaction fetches both features
+        # pack feature pairs: one gather transaction fetches both features;
+        # custom VJP scatters the gradient as two scalar f32 scatters
+        # (complex scatter-add is 6x slower on v5e — see _packed_gather)
         tflat = tables.reshape(L * T, 2)
-        packed = jax.lax.complex(tflat[:, 0], tflat[:, 1])  # (L*T,) c64
 
         def fetch(idx):  # (L, N) → (F, L, N)
-            g = packed[idx]
-            return jnp.stack([jnp.real(g), jnp.imag(g)])
+            return _packed_gather(tflat, idx)
     else:
         tflat_t = tables.reshape(L * T, F).T  # (F, L*T)
 
