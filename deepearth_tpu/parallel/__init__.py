@@ -1,5 +1,8 @@
-"""Parallelism layer: mesh construction, sharding rules, distributed init."""
+"""Parallelism layer: mesh construction, sharding rules, distributed init,
+ring (sequence-parallel) attention, and GPipe pipeline parallelism."""
 
+from .pipeline import pipeline_apply, stack_stage_params, stage_param_sharding
+from .ring import ring_attention
 from .mesh import (
     AXES,
     batch_sharding,
@@ -18,8 +21,12 @@ __all__ = [
     "create_mesh",
     "make_param_shardings",
     "param_spec",
+    "pipeline_apply",
     "process_local_batch_indices",
     "replicated",
+    "ring_attention",
     "shard_batch",
     "shard_params",
+    "stack_stage_params",
+    "stage_param_sharding",
 ]
