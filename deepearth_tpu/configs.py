@@ -269,6 +269,10 @@ class FusionConfig:
     # current hidden states (reference: models/cross_modal_fusion.py:435-445
     # — a second self-attention in practice).
     cross_attention_context: str = "inputs"
+    # Token counts at or below this run the fusion stack token-major
+    # (N, B, D) with pairwise small-seq attention — 2.62x measured at the
+    # A-stack shape (ops/attention_smallseq.py). 0 disables.
+    token_major_max_tokens: int = 8
     spatial_aware: bool = True
     temporal_aware: bool = True
     # gradient checkpointing over fusion layers (jax.checkpoint); the

@@ -17,6 +17,7 @@ from flax import linen as nn
 
 from ..configs import FusionConfig
 from ..ops.attention import dot_product_attention
+from ..ops.attention_smallseq import pairwise_token_attention, rope_token_major
 from ..ops.rope import apply_rope_half, rope_cos_sin
 from .transformer import GatedMLP, MLP
 from ..configs import TransformerConfig
@@ -85,11 +86,21 @@ class SpatialTemporalEmbedding(nn.Module):
 
 class FusionAttention(nn.Module):
     """Self/cross attention with rotate_half RoPE
-    (reference: models/cross_modal_fusion.py:185-270)."""
+    (reference: models/cross_modal_fusion.py:185-270).
+
+    Two equivalent layouts (same params, same math):
+    * batch-major (B, N, D) — the standard BHND einsum path; used for long
+      token sequences.
+    * token-major (N, B, D) — the pairwise small-sequence formulation
+      (ops/attention_smallseq.py); measured 2.62× on the A-stack headline
+      shape fwd+bwd (BENCH_SMALLSEQ_ATTN.json) by eliminating the
+      N/Dh-minor padded-op storm.
+    """
 
     cfg: FusionConfig
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    token_major: bool = False
 
     @nn.compact
     def __call__(
@@ -100,9 +111,8 @@ class FusionAttention(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         cfg = self.cfg
-        B, Nq, D = query.shape
+        D = query.shape[-1]
         kv = query if key_value is None else key_value
-        Nk = kv.shape[1]
         H = cfg.num_heads
         Dh = D // H
         dense = lambda name: nn.Dense(  # noqa: E731
@@ -110,6 +120,23 @@ class FusionAttention(nn.Module):
             param_dtype=self.param_dtype, name=name,
             kernel_init=nn.initializers.normal(0.02),
         )
+
+        if self.token_major:
+            # query/kv: (N, B, D)
+            q = dense("q_proj")(query)
+            k = dense("k_proj")(kv)
+            v = dense("v_proj")(kv)
+            if cfg.use_rotary_embeddings:
+                q = rope_token_major(q, H)
+                k = rope_token_major(k, H)
+            out = pairwise_token_attention(
+                q, k, v, n_heads=H, scale=Dh ** -0.5, key_mask=key_mask
+            )
+            out = dense("out_proj")(out)
+            return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
+
+        B, Nq, _ = query.shape
+        Nk = kv.shape[1]
         q = dense("q_proj")(query).reshape(B, Nq, H, Dh).transpose(0, 2, 1, 3)
         k = dense("k_proj")(kv).reshape(B, Nk, H, Dh).transpose(0, 2, 1, 3)
         v = dense("v_proj")(kv).reshape(B, Nk, H, Dh).transpose(0, 2, 1, 3)
@@ -133,6 +160,7 @@ class FusionLayer(nn.Module):
     layer_idx: int
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    token_major: bool = False
 
     @property
     def use_cross_attention(self) -> bool:
@@ -152,12 +180,14 @@ class FusionLayer(nn.Module):
             param_dtype=self.param_dtype, name=name,
         )
         x = x + FusionAttention(
-            cfg, self.compute_dtype, self.param_dtype, name="self_attn"
+            cfg, self.compute_dtype, self.param_dtype, self.token_major,
+            name="self_attn",
         )(ln("self_attn_norm")(x), key_mask=key_mask, deterministic=deterministic)
 
         if self.use_cross_attention and encoder_hidden_states is not None:
             x = x + FusionAttention(
-                cfg, self.compute_dtype, self.param_dtype, name="cross_attn"
+                cfg, self.compute_dtype, self.param_dtype, self.token_major,
+                name="cross_attn",
             )(
                 ln("cross_attn_norm")(x),
                 key_value=encoder_hidden_states,
@@ -227,6 +257,15 @@ class CrossModalFusion(nn.Module):
             idx += n
 
         h = jnp.concatenate(parts, axis=1)
+
+        # For small token counts (the A-stack's 3, most multimodal configs'
+        # <=8), run the whole stack TOKEN-MAJOR (N, B, D): minor dims stay
+        # (B, D) — unpadded — and attention uses the pairwise formulation.
+        # Measured 2.62x on the headline attention sites
+        # (BENCH_SMALLSEQ_ATTN.json); parameters are layout-independent.
+        token_major = h.shape[1] <= cfg.token_major_max_tokens
+        if token_major:
+            h = jnp.transpose(h, (1, 0, 2))
         h_inputs = h  # pre-fusion embedded tokens for cross-attention context
 
         layer_cls = FusionLayer
@@ -236,6 +275,7 @@ class CrossModalFusion(nn.Module):
             layer = layer_cls(
                 cfg, layer_idx=i,
                 compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
+                token_major=token_major,
                 name=f"layer_{i}",
             )
             if i % cfg.cross_attention_freq == 0:
@@ -248,6 +288,8 @@ class CrossModalFusion(nn.Module):
             epsilon=cfg.layer_norm_eps, dtype=self.compute_dtype,
             param_dtype=self.param_dtype, name="final_norm",
         )(h)
+        if token_major:
+            h = jnp.transpose(h, (1, 0, 2))
 
         out = {
             "fused_representation": h[:, 0],

@@ -17,7 +17,10 @@ For fusions it uses the dominant constituent op (first dot, else the most
 common source file among fused instructions).
 
 Writes PROFILE_TRAIN_BUCKETS.json.
-Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/profile_train_buckets.py
+Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/profile_train_buckets.py [B]
+A-stack headline mode (bench.py's exact config; writes
+PROFILE_ASTACK_BUCKETS.json):
+     ... python tools/profile_train_buckets.py astack [B]
 """
 
 from __future__ import annotations
@@ -88,7 +91,11 @@ BUCKET_RULES = [
     ("attention", re.compile(
         r"attention|attn|mla|softmax|flash|rope|rotary|query|key_value|/kv_")),
     ("moe", re.compile(r"moe|expert|router|gate|dispatch")),
+    ("grid4d-gather", re.compile(r"hash_enc.*(gather|take)")),
+    ("grid4d-scatter", re.compile(r"hash_enc.*scatter")),
     ("grid4d", re.compile(r"grid4d|hash_enc")),
+    ("decoders", re.compile(r"decoders?\.py|spatial_dec|temporal_dec|"
+                            r"species_dec|modalitydecoder")),
     ("norms", re.compile(r"norm")),
     ("encoder", re.compile(r"universaltokenencoder|encoders?\.py|in_proj|"
                            r"modality|patch")),
@@ -169,13 +176,30 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     log(f"devices: {jax.devices()}")
 
-    from bench_flagship import build_model, make_batch
     from deepearth_tpu.training import LossWeights, create_optimizer, make_train_step
     from deepearth_tpu.training.trainer import TrainState
 
-    B, SV, SL = (int(sys.argv[1]) if len(sys.argv) > 1 else 32), 576, 16
-    cfg, model = build_model(moe_experts=4, moe_intermediate=1024, n_layers=10)
-    batch = make_batch(jax.random.PRNGKey(0), B, SV, SL)
+    global OUT
+    args = sys.argv[1:]
+    astack = bool(args) and args[0] == "astack"
+    if astack:
+        args = args[1:]
+        OUT = OUT.replace("TRAIN", "ASTACK")
+        sys.path.insert(0, REPO)
+        from bench import build_astack
+
+        B = int(args[0]) if args else 1024
+        cfg, model, batch = build_astack(B)
+        what = f"A-stack headline train step batch {B} (2^19 tables)"
+    else:
+        from bench_flagship import build_model, make_batch
+
+        B, SV, SL = (int(args[0]) if args else 32), 576, 16
+        cfg, model = build_model(
+            moe_experts=4, moe_intermediate=1024, n_layers=10
+        )
+        batch = make_batch(jax.random.PRNGKey(0), B, SV, SL)
+        what = f"1.53B train step batch {B}"
     params = model.init(jax.random.PRNGKey(1), batch)["params"]
     state = TrainState.create(
         apply_fn=model.apply, params=params, tx=create_optimizer(cfg.optimizer)
@@ -245,7 +269,7 @@ def main():
         for b, v in sorted(buckets.items(), key=lambda kv: -kv[1])
     }
     result = {
-        "what": f"1.53B train step batch {B}, bucketed device time "
+        "what": f"{what}, bucketed device time "
                 f"(jax.profiler x HLO metadata, avg of {reps})",
         "device_total_ms": round(total / reps, 2),
         "unattributed_ms": round(unmatched / reps, 2),
