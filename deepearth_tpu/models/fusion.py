@@ -19,7 +19,7 @@ from ..configs import FusionConfig
 from ..ops.attention import dot_product_attention
 from ..ops.attention_smallseq import pairwise_token_attention, rope_token_major
 from ..ops.rope import apply_rope_half, rope_cos_sin
-from .transformer import GatedMLP, MLP
+from .transformer import GatedMLP, KernelParam, MLP
 from ..configs import TransformerConfig
 
 
@@ -115,31 +115,42 @@ class FusionAttention(nn.Module):
         kv = query if key_value is None else key_value
         H = cfg.num_heads
         Dh = D // H
-        dense = lambda name: nn.Dense(  # noqa: E731
-            D, use_bias=False, dtype=self.compute_dtype,
-            param_dtype=self.param_dtype, name=name,
-            kernel_init=nn.initializers.normal(0.02),
-        )
+        cd = self.compute_dtype
+
+        # Kernels declared separately (paths/init identical to nn.Dense) but
+        # applied as fused matmuls: qkv in ONE dot for self-attention, kv in
+        # one for cross — separate small dots are launch-bound at tiny N.
+        wq = KernelParam(D, D, self.param_dtype, name="q_proj")()
+        wk = KernelParam(D, D, self.param_dtype, name="k_proj")()
+        wv = KernelParam(D, D, self.param_dtype, name="v_proj")()
+        wo = KernelParam(D, D, self.param_dtype, name="out_proj")()
+
+        if key_value is None:
+            qkv = query.astype(cd) @ jnp.concatenate(
+                [wq, wk, wv], axis=1
+            ).astype(cd)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = query.astype(cd) @ wq.astype(cd)
+            kv_p = kv.astype(cd) @ jnp.concatenate([wk, wv], axis=1).astype(cd)
+            k, v = jnp.split(kv_p, 2, axis=-1)
 
         if self.token_major:
-            # query/kv: (N, B, D)
-            q = dense("q_proj")(query)
-            k = dense("k_proj")(kv)
-            v = dense("v_proj")(kv)
+            # q/k/v: (N, B, D)
             if cfg.use_rotary_embeddings:
                 q = rope_token_major(q, H)
                 k = rope_token_major(k, H)
             out = pairwise_token_attention(
                 q, k, v, n_heads=H, scale=Dh ** -0.5, key_mask=key_mask
             )
-            out = dense("out_proj")(out)
+            out = out @ wo.astype(cd)
             return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
         B, Nq, _ = query.shape
         Nk = kv.shape[1]
-        q = dense("q_proj")(query).reshape(B, Nq, H, Dh).transpose(0, 2, 1, 3)
-        k = dense("k_proj")(kv).reshape(B, Nk, H, Dh).transpose(0, 2, 1, 3)
-        v = dense("v_proj")(kv).reshape(B, Nk, H, Dh).transpose(0, 2, 1, 3)
+        q = q.reshape(B, Nq, H, Dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, Nk, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, Nk, H, Dh).transpose(0, 2, 1, 3)
 
         if cfg.use_rotary_embeddings:
             cos_q, sin_q = rope_cos_sin(Nq, Dh, layout="half")
@@ -149,7 +160,7 @@ class FusionAttention(nn.Module):
 
         out = dot_product_attention(q, k, v, scale=Dh ** -0.5, key_mask=key_mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, Nq, D)
-        out = dense("out_proj")(out)
+        out = out @ wo.astype(cd)
         return nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
 
 

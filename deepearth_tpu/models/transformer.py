@@ -23,6 +23,28 @@ from ..ops.rope import (
 )
 
 
+class KernelParam(nn.Module):
+    """Declares a bias-free Dense-compatible kernel at ``<name>/kernel`` and
+    returns it, so the caller can CONCATENATE several projections into one
+    matmul (q/k/v, gate/up) while keeping the parameter tree — paths, shapes,
+    and init draws — byte-identical to separate ``nn.Dense`` modules.
+
+    Why: at small token counts each separate projection dot is launch-bound
+    (~25 µs); fusing 3 dots into one cuts the fusion stack's dot count ~2×
+    (PROFILE_ASTACK_BUCKETS.json round-3 analysis)."""
+
+    d_in: int
+    d_out: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        return self.param(
+            "kernel", nn.initializers.normal(0.02),
+            (self.d_in, self.d_out), self.param_dtype,
+        )
+
+
 class MultiHeadAttention(nn.Module):
     """RoPE multi-head self-attention (reference: models/transformers.py:16-114)."""
 
@@ -41,14 +63,16 @@ class MultiHeadAttention(nn.Module):
         B, N, D = x.shape
         H, Dh = cfg.n_heads, cfg.head_dim
 
-        dense = lambda name: nn.Dense(  # noqa: E731
-            D, use_bias=False, name=name,
-            dtype=self.compute_dtype, param_dtype=self.param_dtype,
-            kernel_init=nn.initializers.normal(0.02),
-        )
-        q = dense("q_proj")(x).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
-        k = dense("k_proj")(x).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
-        v = dense("v_proj")(x).reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+        cd = self.compute_dtype
+        wq = KernelParam(D, D, self.param_dtype, name="q_proj")()
+        wk = KernelParam(D, D, self.param_dtype, name="k_proj")()
+        wv = KernelParam(D, D, self.param_dtype, name="v_proj")()
+        # one fused qkv matmul (self-attention: shared input)
+        qkv = x.astype(cd) @ jnp.concatenate([wq, wk, wv], axis=1).astype(cd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, N, H, Dh).transpose(0, 2, 1, 3)
 
         if cfg.use_rope:
             if cfg.rope_variant == "interleaved":
@@ -62,7 +86,8 @@ class MultiHeadAttention(nn.Module):
 
         out = dot_product_attention(q, k, v, scale=Dh ** -0.5, key_mask=mask)
         out = out.transpose(0, 2, 1, 3).reshape(B, N, D)
-        out = dense("out_proj")(out)
+        wo = KernelParam(D, D, self.param_dtype, name="out_proj")()
+        out = out @ wo.astype(cd)
         out = nn.Dropout(cfg.dropout)(out, deterministic=deterministic)
         return out
 
@@ -104,13 +129,15 @@ class GatedMLP(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         inner = int(self.hidden_dim * self.mlp_ratio)
-        kwargs = dict(
-            use_bias=False, dtype=self.compute_dtype, param_dtype=self.param_dtype,
-            kernel_init=nn.initializers.normal(0.02),
-        )
-        gate = nn.silu(nn.Dense(inner, name="gate_proj", **kwargs)(x))
-        up = nn.Dense(inner, name="up_proj", **kwargs)(x)
-        out = nn.Dense(self.hidden_dim, name="down_proj", **kwargs)(gate * up)
+        d = self.hidden_dim
+        cd = self.compute_dtype
+        wg = KernelParam(d, inner, self.param_dtype, name="gate_proj")()
+        wu = KernelParam(d, inner, self.param_dtype, name="up_proj")()
+        wd = KernelParam(inner, d, self.param_dtype, name="down_proj")()
+        # gate+up as ONE matmul (shared input), split after
+        gu = x.astype(cd) @ jnp.concatenate([wg, wu], axis=1).astype(cd)
+        gate, up = jnp.split(gu, 2, axis=-1)
+        out = (nn.silu(gate) * up) @ wd.astype(cd)
         return nn.Dropout(self.dropout)(out, deterministic=deterministic)
 
 
