@@ -24,10 +24,12 @@ import time
 
 import numpy as np
 
-# Throughput-optimal batch from the on-chip sweep (EXP_ASTACK_BATCH.json):
-# 11.8k obs/s @256 -> 15.0k @512 -> 17.7k @1024 -> 18.0k @2048 (plateau).
-# 1024 takes ~98% of the plateau at half the activation memory.
-BATCH = 1024
+# Throughput-optimal batch from the on-chip sweep (EXP_ASTACK_BATCH.json,
+# post token-major fusion + Pallas pairwise kernel): 31.6k obs/s @1024 ->
+# 38.1k @2048 -> 42.1k @4096 -> 42.6k @8192 (plateau). 4096 takes ~99% of
+# the plateau at half the memory/step latency. The torch CPU baseline below
+# is measured at the SAME batch (cache keyed on batch).
+BATCH = 4096
 STEPS = 30
 WARMUP = 5
 BASELINE_CACHE = os.path.join(os.path.dirname(__file__), "BENCH_BASELINE_CPU.json")

@@ -125,6 +125,63 @@ class TestPairwiseTokenAttention:
         )
 
 
+class TestPairwiseKernel:
+    """The Pallas pairwise core (interpret mode on CPU) == the XLA path."""
+
+    def _qkv(self, key, nq=3, nk=3, b=256):
+        return (
+            jax.random.normal(jax.random.fold_in(key, 0), (nq, b, D)),
+            jax.random.normal(jax.random.fold_in(key, 1), (nk, b, D)),
+            jax.random.normal(jax.random.fold_in(key, 2), (nk, b, D)),
+        )
+
+    def test_forward_matches_xla(self):
+        q, k, v = self._qkv(jax.random.PRNGKey(0))
+        ref = pairwise_token_attention(
+            q, k, v, n_heads=H, scale=Dh**-0.5, use_kernel=False
+        )
+        out = pairwise_token_attention(
+            q, k, v, n_heads=H, scale=Dh**-0.5, use_kernel=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-6)
+
+    def test_gradients_match_xla(self):
+        q, k, v = self._qkv(jax.random.PRNGKey(1))
+
+        def loss(use_kernel):
+            def f(q, k, v):
+                o = pairwise_token_attention(
+                    q, k, v, n_heads=H, scale=Dh**-0.5, use_kernel=use_kernel
+                )
+                return jnp.sum(jnp.sin(o))
+
+            return jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+
+        for a, b in zip(loss(True), loss(False)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_rectangular(self):
+        q, k, v = self._qkv(jax.random.PRNGKey(2), nq=2, nk=4)
+        ref = pairwise_token_attention(
+            q, k, v, n_heads=H, scale=0.3, use_kernel=False
+        )
+        out = pairwise_token_attention(
+            q, k, v, n_heads=H, scale=0.3, use_kernel=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-6)
+
+    def test_unsupported_shapes_fall_back(self):
+        # B not a multiple of 256 → XLA path even when requested
+        q, k, v = self._qkv(jax.random.PRNGKey(3), b=100)
+        out = pairwise_token_attention(
+            q, k, v, n_heads=H, scale=0.3, use_kernel=True
+        )
+        ref = pairwise_token_attention(
+            q, k, v, n_heads=H, scale=0.3, use_kernel=False
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-6)
+
+
 class TestFusionLayoutSwitch:
     def _setup(self):
         cfg = FusionConfig(universal_dim=96, num_fusion_layers=4, num_heads=6)

@@ -30,7 +30,12 @@ def main():
     from deepearth_tpu.training.trainer import TrainState
 
     results = []
-    for bs in (256, 512, 1024, 2048):
+    sizes = (
+        tuple(int(a) for a in sys.argv[1:])
+        if len(sys.argv) > 1
+        else (256, 512, 1024, 2048)
+    )
+    for bs in sizes:
         cfg, model, batch = benchmod.build_astack(bs)
         params = model.init(jax.random.PRNGKey(1), batch)["params"]
         tx = create_optimizer(cfg.optimizer)
