@@ -7,10 +7,11 @@ value     = observation tokens/sec/chip through a full jit train step
             (forward + masked losses + backward + adam update) at A-stack
             reference scale (hidden 768, 12 fusion layers, Grid4D 16 spatial
             levels @ 2^19 tables — reference: models/configs.py defaults).
-vs_baseline = value / (torch CPU reference throughput), measured once from the
-            reference's own runnable A-stack modules (examples/quick_test.py
-            composition) and cached in BENCH_BASELINE_CPU.json. North-star
-            target is >=10x (BASELINE.md).
+vs_baseline = value / (torch CPU reference throughput at the CPU's own
+            best batch), measured once from the reference's own runnable
+            A-stack modules (examples/quick_test.py composition) and cached
+            in BENCH_BASELINE_CPU.json. North-star target is >=10x
+            (BASELINE.md).
 
 Extra diagnostic numbers go to stderr; stdout carries only the JSON line.
 """
@@ -27,8 +28,9 @@ import numpy as np
 # Throughput-optimal batch from the on-chip sweep (EXP_ASTACK_BATCH.json,
 # post token-major fusion + Pallas pairwise kernel): 31.6k obs/s @1024 ->
 # 38.1k @2048 -> 42.1k @4096 -> 42.6k @8192 (plateau). 4096 takes ~99% of
-# the plateau at half the memory/step latency. The torch CPU baseline below
-# is measured at the SAME batch (cache keyed on batch).
+# the plateau at half the memory/step latency. The torch CPU baseline is
+# measured at the CPU's own best batch (see bench_reference_cpu) so the
+# ratio never benefits from a thrashing denominator.
 BATCH = 4096
 STEPS = 30
 WARMUP = 5
@@ -181,16 +183,22 @@ def bench_reference_cpu() -> float:
 
     Composes the reference's own modules the way examples/quick_test.py does
     (Grid4D encoder + species embedding + 12-layer transformer + decoders)
-    and times forward+masked-losses+backward+adam at the same batch size.
+    and times forward+masked-losses+backward+adam.
+
+    The denominator is the CPU's BEST throughput over its own batch sweep —
+    not the same batch as the TPU run. Measured: 48.8 obs/s @1024 vs
+    19.2 @4096 (memory-bound collapse); dividing the B=4096 TPU number by
+    the B=4096 CPU number would inflate the ratio ~2.5x with a pathological
+    denominator. Each side runs at its own throughput-optimal batch.
     """
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
             cached = json.load(f)
-        # invalidate caches measured at a different table size or batch
-        # (per-obs CPU throughput shifts with batch; compare same-batch)
+        # invalidate caches measured at a different table size or with the
+        # old same-batch (non-sweep) policy
         if (
             cached.get("hash_table_size", 2 ** 17) == HASH_TABLE_SIZE
-            and cached.get("batch", 256) == BATCH
+            and cached.get("policy") == "cpu_best_batch"
         ):
             return cached["obs_per_s"]
     try:
@@ -232,29 +240,37 @@ def bench_reference_cpu() -> float:
 
         model = RefModel()
         opt = torch.optim.AdamW(model.parameters(), lr=1e-4)
-        xyzt = torch.rand(BATCH, 4)
-        species = torch.randint(0, 232, (BATCH,))
 
-        def step():
-            opt.zero_grad()
-            s, t, sl = model(xyzt, species)
-            loss = (
-                torch.nn.functional.mse_loss(s, xyzt[:, :3])
-                + torch.nn.functional.mse_loss(t, xyzt[:, 3:4])
-                + torch.nn.functional.cross_entropy(sl, species)
-            )
-            loss.backward()
-            opt.step()
+        def measure(cpu_batch: int) -> float:
+            xyzt = torch.rand(cpu_batch, 4)
+            species = torch.randint(0, 232, (cpu_batch,))
 
-        for _ in range(2):
-            step()
-        n = 6
-        t0 = time.perf_counter()
-        for _ in range(n):
-            step()
-        dt = time.perf_counter() - t0
-        obs_per_s = BATCH * n / dt
-        log(f"[reference torch CPU] obs/s: {obs_per_s:.1f}")
+            def step():
+                opt.zero_grad()
+                s, t, sl = model(xyzt, species)
+                loss = (
+                    torch.nn.functional.mse_loss(s, xyzt[:, :3])
+                    + torch.nn.functional.mse_loss(t, xyzt[:, 3:4])
+                    + torch.nn.functional.cross_entropy(sl, species)
+                )
+                loss.backward()
+                opt.step()
+
+            for _ in range(2):
+                step()
+            n = 6
+            t0 = time.perf_counter()
+            for _ in range(n):
+                step()
+            dt = time.perf_counter() - t0
+            r = cpu_batch * n / dt
+            log(f"[reference torch CPU] batch {cpu_batch}: {r:.1f} obs/s")
+            return r
+
+        # CPU's own batch sweep (larger batches thrash: 19.2 obs/s @4096)
+        per_batch = {b: measure(b) for b in (256, 1024)}
+        cpu_best_batch, obs_per_s = max(per_batch.items(), key=lambda kv: kv[1])
+        log(f"[reference torch CPU] best: {obs_per_s:.1f} obs/s @ batch {cpu_best_batch}")
     except Exception as e:  # reference import breakage — record and fall back
         log(f"[reference] failed to benchmark ({e}); using recorded fallback")
         obs_per_s = float("nan")
@@ -268,9 +284,12 @@ def bench_reference_cpu() -> float:
                 {
                     "obs_per_s": obs_per_s,
                     "hash_table_size": HASH_TABLE_SIZE,
-                    "batch": BATCH,
-                    "what": "torch CPU reference A-stack fwd+bwd+adam, batch "
-                    f"{BATCH} (models/{{encoders,transformers,decoders}}.py)",
+                    "policy": "cpu_best_batch",
+                    "batch": cpu_best_batch,
+                    "per_batch": {str(k): round(v, 2) for k, v in per_batch.items()},
+                    "what": "torch CPU reference A-stack fwd+bwd+adam at the "
+                    "CPU's own best batch "
+                    "(models/{encoders,transformers,decoders}.py)",
                 },
                 f,
             )
