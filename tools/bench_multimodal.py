@@ -19,9 +19,13 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_multimodal() -> dict:
+def bench_multimodal(b: int = None) -> dict:
     """Full multimodal train step: species + pre-extracted vision (16x1408)
-    + language (7168) through universal-token encoders and fusion."""
+    + language (7168) through universal-token encoders and fusion.
+
+    Batch default from the on-chip sweep (EXP_MULTIMODAL_BATCH.json):
+    obs/s climbs ~linearly to B=256 then plateaus; 512 is the knee.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -35,7 +39,8 @@ def bench_multimodal() -> dict:
     from deepearth_tpu.training import LossWeights, create_optimizer, make_train_step
     from deepearth_tpu.training.trainer import TrainState
 
-    b = 32
+    if b is None:
+        b = int(os.environ.get("MM_BATCH", 512))
     cfg = DeepEarthConfig(
         hidden_dim=512,
         n_heads=8,
@@ -121,6 +126,15 @@ def bench_multimodal() -> dict:
 
 
 if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "sweep":
+        rows = {}
+        for bb in (32, 128, 256, 512, 1024):
+            rows[bb] = {k: round(v, 1) for k, v in bench_multimodal(bb).items()}
+        here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        with open(os.path.join(here, "EXP_MULTIMODAL_BATCH.json"), "w") as f:
+            json.dump(rows, f, indent=2)
+        print(json.dumps(rows))
+        sys.exit(0)
     out = bench_multimodal()
     payload = {k: round(v, 1) for k, v in out.items()}
     with open(
