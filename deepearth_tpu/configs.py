@@ -222,6 +222,12 @@ class MoEConfig:
     # exposes none. Set explicitly to pin behavior near the OOM boundary
     # (models/deepseek.py select_dispatch_mode).
     dense_all_max_bytes: Optional[int] = None
+    # Whether 'auto' may pick the ragged (megablox gmm) path for large
+    # token counts on TPU. The expert-parallel trainer clears this: the
+    # ragged kernel's argsort/bincount see per-shard token subsets and its
+    # grouped kernel does not partition over an expert mesh axis
+    # (training/distributed.py _demote_ragged_dispatch).
+    allow_ragged: bool = True
 
 
 @dataclass

@@ -296,8 +296,14 @@ def select_dispatch_mode(cfg, n_tokens: int) -> str:
       the choice.
     * ``dense`` — one-hot einsum dispatch, O(S·E·C·D): MXU-friendly at
       small token counts, quadratic in tokens at fixed capacity factor.
-    * ``scatter`` — argsort+gather dispatch, O(S·K·D): the linear path,
-      required for the 64-128-expert 'ultra' preset.
+    * ``ragged`` — sort + megablox grouped matmul: drop-free AND the
+      fastest large-token path on TPU once E grows past dense_all's
+      budget (fwd+bwd at E=64/128 ultra shapes: 102.6/139.6 ms vs
+      scatter's 116.2/156.3 — BENCH_MOE_DISPATCH.json). Requires the
+      (512,1024,512) gmm tiling fix (ops/moe.py) and a real TPU backend;
+      disabled under expert-parallel meshes via ``cfg.allow_ragged``.
+    * ``scatter`` — argsort+gather dispatch, O(S·K·D): the linear
+      capacity path — the fallback on CPU and under EP meshes.
 
     The rule optimizes the single-chip case. Under an expert-parallel mesh,
     dense_all still shards (each expert shard computes its experts over all
@@ -319,7 +325,11 @@ def select_dispatch_mode(cfg, n_tokens: int) -> str:
         S * K if cfg.capacity_factor is None
         else max(K, int(math.ceil(S * K / E * cfg.capacity_factor)))
     )
-    return "dense" if S * E * capacity_est <= 2 ** 22 else "scatter"
+    if S * E * capacity_est <= 2 ** 22:
+        return "dense"
+    if getattr(cfg, "allow_ragged", True) and jax.default_backend() == "tpu":
+        return "ragged"
+    return "scatter"
 
 
 class MoELayer(nn.Module):

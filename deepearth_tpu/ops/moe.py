@@ -332,17 +332,28 @@ def ragged_expert_ffn(
         group_sizes = group_sizes.at[e - 1].add(pad)
 
     interpret = jax.default_backend() != "tpu"  # CPU tests run interpreted
-    tiling = (128, min(128, d), min(128, f))
+    # Tile choice is the whole ballgame: the earlier (128,128,128) tiling
+    # ran the in-proj shape (M=147k, D=F=2048) at 12 TF/s — k-tiles of 128
+    # re-stream the M×128 accumulator slab from HBM 16× per output tile.
+    # On-chip bisect (fwd+bwd, v5e, docs/ROUND3.md): (512,1024,512) is the
+    # fastest that also compiles through the VJP's tgmm (tk=2048 blows the
+    # backward kernel's VMEM and fails remote compile). Clamps keep small
+    # test shapes legal.
+    mr = sorted_tokens.shape[0]
+    tm = next(t for t in (512, 256, 128) if mr % t == 0 or mr < t)
+    tm = min(tm, mr)
+    t_up = (tm, min(1024, d), min(512, f))
+    t_down = (tm, min(1024, f), min(512, d))
     gate = gmm(sorted_tokens, w_gate, group_sizes,
-               preferred_element_type=jnp.float32, tiling=tiling,
+               preferred_element_type=jnp.float32, tiling=t_up,
                interpret=interpret)
     up = gmm(sorted_tokens, w_up, group_sizes,
-             preferred_element_type=jnp.float32, tiling=tiling,
+             preferred_element_type=jnp.float32, tiling=t_up,
              interpret=interpret)
     h = (jax.nn.silu(gate) * up).astype(xf.dtype)
     out_sorted = gmm(h, w_down, group_sizes,
                      preferred_element_type=jnp.float32,
-                     tiling=(128, min(128, f), min(128, d)),
+                     tiling=t_down,
                      interpret=interpret).astype(xf.dtype)
     if pad:
         out_sorted = out_sorted[:m]

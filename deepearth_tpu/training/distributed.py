@@ -93,15 +93,17 @@ def _demote_ragged_dispatch(cfg):
                 nv = fix(v)
                 if nv is not v:
                     changes[f.name] = nv
-            if (
-                getattr(node, "dispatch_mode", None) == "ragged"
-                and hasattr(node, "n_routed_experts")
-            ):
-                changes["dispatch_mode"] = "auto"
-                logger.warning(
-                    "ragged MoE dispatch demoted to 'auto' under an expert-"
-                    "parallel mesh (no multi-chip story for megablox gmm)"
-                )
+            if hasattr(node, "n_routed_experts"):
+                if getattr(node, "dispatch_mode", None) == "ragged":
+                    changes["dispatch_mode"] = "auto"
+                    logger.warning(
+                        "ragged MoE dispatch demoted to 'auto' under an "
+                        "expert-parallel mesh (no multi-chip story for "
+                        "megablox gmm)"
+                    )
+                # keep 'auto' from re-selecting ragged inside the mesh
+                if getattr(node, "allow_ragged", False):
+                    changes["allow_ragged"] = False
             return dataclasses.replace(node, **changes) if changes else node
         if isinstance(node, dict):
             out = {k: fix(v) for k, v in node.items()}

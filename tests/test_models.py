@@ -791,3 +791,24 @@ class TestDispatchModeMemoryGate:
         )
         # 16M tokens × 8 experts × 4096: orders of magnitude past any HBM
         assert select_dispatch_mode(cfg, 1 << 24) == "scatter"
+
+    def test_ragged_preferred_on_tpu_unless_disallowed(self, monkeypatch):
+        """On TPU the large-token branch picks ragged (measured faster than
+        scatter at E=64/128 fwd+bwd — BENCH_MOE_DISPATCH.json); the EP
+        trainer clears allow_ragged and gets scatter back. On CPU (these
+        tests) the interpreted gmm is never auto-selected."""
+        import dataclasses
+        import jax
+        from deepearth_tpu.configs import MoEConfig
+        from deepearth_tpu.models.deepseek import select_dispatch_mode
+
+        ultra = MoEConfig(
+            n_routed_experts=64, num_experts_per_tok=6,
+            moe_intermediate_size=1408, hidden_dim=2048,
+            n_shared_experts=None, capacity_factor=2.0,
+        )
+        assert select_dispatch_mode(ultra, 73728) == "scatter"  # CPU backend
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert select_dispatch_mode(ultra, 73728) == "ragged"
+        no_ragged = dataclasses.replace(ultra, allow_ragged=False)
+        assert select_dispatch_mode(no_ragged, 73728) == "scatter"
