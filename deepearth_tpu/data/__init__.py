@@ -9,6 +9,12 @@ from .extractors import (
     run_parallel_extraction,
 )
 from .batches import collate_observations, device_prefetch, threaded_producer
+from .transfer import (
+    compress_batch,
+    decompress_on_device,
+    device_prefetch_compressed,
+    quantize_rows,
+)
 from .npy_dataset import NpySampleDataset, write_npy_dataset
 from .observations import (
     DatasetConfig,
@@ -58,6 +64,10 @@ __all__ = [
     "temporal_frame",
     "collate_observations",
     "device_prefetch",
+    "device_prefetch_compressed",
+    "compress_batch",
+    "decompress_on_device",
+    "quantize_rows",
     "threaded_producer",
     "MMapEmbeddingLoader",
     "MMapEmbeddingWriter",

@@ -333,10 +333,23 @@ class UnifiedDataCache:
                 # reference schema: embeddings live in the observations
                 # parquet (see get_language_embedding)
                 col = self.dataset.df["language_embedding"]
-                lang = np.stack(
-                    [np.asarray(col.iloc[r], embedding_dtype) for r in rows]
+                vals = [col.iloc[r] for r in rows]
+                dim = next(
+                    (len(v) for v in vals if v is not None), None
                 )
-                batch["modalities"]["language"] = lang
+                if dim is not None:
+                    # rows with a null embedding (get_language_embedding's
+                    # per-row None case) zero-fill instead of killing the
+                    # whole batch build
+                    zero = np.zeros(dim, embedding_dtype)
+                    lang = np.stack(
+                        [
+                            zero if v is None
+                            else np.asarray(v, embedding_dtype)
+                            for v in vals
+                        ]
+                    )
+                    batch["modalities"]["language"] = lang
         return batch
 
     def batch_iterator(

@@ -32,6 +32,7 @@ from ..ops.moe import (
     moe_gate,
 )
 from ..ops.norms import RMSNorm
+from ..ops.shapes import round_up
 from ..ops.rope import apply_rope_deepseek, rope_cos_sin, yarn_get_mscale
 
 
@@ -157,11 +158,11 @@ class MLAttention(nn.Module):
                 flash_attention,
             )
 
-            n_pad_to = ((N + 127) // 128) * 128
+            n_pad_to = round_up(N, 128)
             pad_n = n_pad_to - N
             block_sizes = _flash_block_sizes(n_pad_to)
 
-            qh_pad = qh if qh <= 128 else ((qh + 127) // 128) * 128
+            qh_pad = qh if qh <= 128 else round_up(qh, 128)
             pad_qk = qh_pad - qh
             q_in, k_in, v_in = query, key, v
             if pad_qk:
@@ -253,13 +254,20 @@ def _dense_all_budget_bytes(cfg) -> int:
 
     1. ``cfg.dense_all_max_bytes`` (explicit knob — deterministic, for
        boundary-sensitive deployments);
-    2. the local device's live memory stats: 60% of (bytes_limit −
-       bytes_in_use) at trace time — params/optimizer state already
-       resident are therefore accounted for;
-    3. a 6 GB fallback when the backend exposes no stats (calibrated so
-       the measured-working flagship shapes keep their round-2 choices:
-       the 5.04B forward's in-proj MoE needs ≈4.8 GB of (E,S,F) buffers
-       on a 16 GB chip holding 10 GB of params — BENCH_FLAGSHIP.json).
+    2. 37.5% of the local device's ``bytes_limit`` — a *static* per-chip
+       constant (6 GB on a 16 GB v5e, calibrated so the measured-working
+       flagship shapes keep their round-2 choices: the 5.04B forward's
+       in-proj MoE needs ≈4.8 GB of (E,S,F) buffers on a chip holding
+       10 GB of params — BENCH_FLAGSHIP.json);
+    3. a 6 GB fallback when the backend exposes no stats.
+
+    Deliberately NOT ``bytes_limit - bytes_in_use``: live free-HBM at
+    trace time made the compiled dispatch ALGORITHM nondeterministic —
+    two hosts of one SPMD job (or a train step traced before vs an eval
+    step traced after state is resident) could pick different modes,
+    diverging numerics (token drops) or hanging mismatched collectives.
+    The budget must be a pure function of (config, device type); runs
+    that know their residency set ``dense_all_max_bytes``.
     """
     if cfg.dense_all_max_bytes is not None:
         return int(cfg.dense_all_max_bytes)
@@ -267,8 +275,7 @@ def _dense_all_budget_bytes(cfg) -> int:
         stats = jax.local_devices()[0].memory_stats() or {}
         limit = stats.get("bytes_limit")
         if limit:
-            in_use = stats.get("bytes_in_use", 0)
-            return max(int(0.6 * (limit - in_use)), 256 * 2 ** 20)
+            return max(int(0.375 * limit), 256 * 2 ** 20)
     except Exception:
         pass
     return 6 * 2 ** 30

@@ -78,4 +78,13 @@ def dot_product_attention(
     )
     probs = probs / jnp.sum(probs, axis=-1, keepdims=True)
     probs = probs.astype(q.dtype)
-    return jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+    if key_mask is not None:
+        # A row with ALL keys masked contributes ZERO (not the uniform mean
+        # of v that exp(NEG_INF-NEG_INF)=1 would produce) — pinned across
+        # backends: the vmem and flash kernels' guarded softmax already
+        # returns zeros for such rows.
+        out = jnp.where(
+            key_mask.any(axis=-1)[:, None, None, None], out, 0.0
+        ).astype(out.dtype)
+    return out

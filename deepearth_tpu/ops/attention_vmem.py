@@ -33,6 +33,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .shapes import pad_axis_to as _pad_to
+
 NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 # bwd holds ~3 fp32 (Sq, Sk) buffers + IO in VMEM; 1024² keeps it under the
@@ -40,14 +42,6 @@ NEG_BIG = -0.7 * float(jnp.finfo(jnp.float32).max)
 MAX_SEQ = 1024
 
 
-def _pad_to(x: jnp.ndarray, axis: int, mult: int) -> jnp.ndarray:
-    n = x.shape[axis]
-    p = (-n) % mult
-    if p == 0:
-        return x
-    pads = [(0, 0)] * x.ndim
-    pads[axis] = (0, p)
-    return jnp.pad(x, pads)
 
 
 def _scores(q_ref, k_ref, mask_ref, scale):

@@ -29,9 +29,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .shapes import round_up as _ceil_to
 
-def _ceil_to(n: int, m: int) -> int:
-    return (n + m - 1) // m * m
+
 
 
 def _pick_block(n: int, cands) -> Optional[int]:

@@ -151,22 +151,47 @@ class DeepSeekFlaxEmbedder:
             return [t % self.vocab_size for t in toks]
         return [t % self.vocab_size for t in self.tokenizer(text)["input_ids"]]
 
-    def embed(self, text: str) -> np.ndarray:
-        import jax.numpy as jnp
-
-        ids = self.tokenize(text) or [0]
-        ids_arr = jnp.asarray([ids], jnp.int32)
-        mask = jnp.ones_like(ids_arr, bool)
-        out = self._hidden(self.params, ids_arr, mask)
-        return np.asarray(out[0], np.float32)
-
     # Static jit keys are bucketed so hostile/varied clients cannot force a
     # 20-60 s remote compile per request while holding the service lock
     # (ADVICE r2). Temperature is a runtime argument (no compile impact);
-    # max_new_tokens and the prompt length snap to these buckets, so at most
-    # len(buckets)² programs ever compile per batch size.
+    # max_new_tokens and the prompt length snap to these FINITE bucket
+    # sets, so at most len(PROMPT_BUCKETS)·len(GEN_TOKEN_BUCKETS) decode
+    # programs (+len(PROMPT_BUCKETS) embed programs) ever compile.
+    # Over-long prompts are truncated (most recent tokens kept), never a
+    # new shape: a single multi-100k-token request must not key an
+    # O(prompt) KV cache or compile into jit.
     GEN_TOKEN_BUCKETS = (16, 32, 64, 128, 256)
-    PROMPT_BUCKET = 64
+    PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
+
+    def _max_prompt(self) -> int:
+        limit = int(
+            getattr(self.cfg, "max_position_embeddings", 0) or 0
+        ) - self.GEN_TOKEN_BUCKETS[-1]
+        cap = self.PROMPT_BUCKETS[-1]
+        return max(self.PROMPT_BUCKETS[0], min(cap, limit) if limit > 0 else cap)
+
+    def _bucket_prompt(self, ids: List[int]) -> tuple:
+        """(padded ids, true length): snap to PROMPT_BUCKETS, truncate to
+        the model/service cap keeping the most recent tokens."""
+        max_prompt = self._max_prompt()
+        if len(ids) > max_prompt:
+            ids = ids[-max_prompt:]
+        prompt_len = len(ids)
+        pad_to = next(
+            (b for b in self.PROMPT_BUCKETS
+             if b >= prompt_len and b <= max_prompt),
+            max_prompt,
+        )
+        return ids + [0] * (pad_to - prompt_len), prompt_len
+
+    def embed(self, text: str) -> np.ndarray:
+        import jax.numpy as jnp
+
+        ids, prompt_len = self._bucket_prompt(self.tokenize(text) or [0])
+        ids_arr = jnp.asarray([ids], jnp.int32)
+        mask = jnp.arange(len(ids))[None, :] < prompt_len
+        out = self._hidden(self.params, ids_arr, mask)
+        return np.asarray(out[0], np.float32)
 
     def generate(self, text: str, max_new_tokens: int = 32,
                  temperature: float = 0.0,
@@ -180,10 +205,8 @@ class DeepSeekFlaxEmbedder:
         n_bucket = next(b for b in self.GEN_TOKEN_BUCKETS if b >= n_req)
         temperature = float(min(max(float(temperature), 0.0), 4.0))
 
-        ids = self.tokenize(text) or [0]
-        prompt_len = len(ids)
-        pad_to = -(-prompt_len // self.PROMPT_BUCKET) * self.PROMPT_BUCKET
-        ids = ids + [0] * (pad_to - prompt_len)
+        ids, prompt_len = self._bucket_prompt(self.tokenize(text) or [0])
+        pad_to = len(ids)
         ids_arr = jnp.asarray([ids], jnp.int32)
 
         if rng is None:

@@ -118,7 +118,13 @@ def fused_adamw(
             scale = jnp.minimum(1.0, clip_norm / jnp.maximum(g_norm, 1e-16))
         else:
             scale = jnp.float32(1.0)
-        lr = learning_rate(count) if callable(learning_rate) else learning_rate
+        # optax evaluates schedules at the PRE-increment count (first update
+        # uses schedule(0)); bias correction uses the post-increment count.
+        lr = (
+            learning_rate(state.count)
+            if callable(learning_rate)
+            else learning_rate
+        )
         c1 = 1.0 - jnp.asarray(b1, jnp.float32) ** count
         c2 = 1.0 - jnp.asarray(b2, jnp.float32) ** count
 

@@ -56,6 +56,25 @@ def test_key_mask_matches_xla():
                                atol=2e-5, rtol=2e-5)
 
 
+def test_fully_masked_row_is_zero_on_all_backends():
+    """A batch row whose key_mask is entirely False (a fully-padded
+    sequence in a bucketed batch) outputs ZERO on every backend — the
+    einsum path, the vmem kernel, and the flash SegmentIds route all
+    agree, so CPU tests and TPU runs see identical semantics."""
+    b, h, nq, nk, dh = 2, 2, 64, 300, 64
+    q, k, v = _make(b, h, nq, nk, dh, dh, seed=5)
+    key_mask = jnp.ones((b, nk), bool).at[1, :].set(False)
+    scale = dh ** -0.5
+    ref = _ref(q, k, v, scale, key_mask=key_mask)
+    np.testing.assert_array_equal(np.asarray(ref[1]), 0.0)
+    assert np.abs(np.asarray(ref[0])).max() > 0
+    out = vmem_attention(q, k, v, scale=scale, key_mask=key_mask,
+                         interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=2e-5, rtol=2e-5)
+
+
 @pytest.mark.parametrize("with_mask", [False, True])
 def test_gradients_match_xla(with_mask):
     b, h, nq, nk, dh = 1, 2, 288, 288, 64

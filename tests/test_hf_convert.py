@@ -265,6 +265,28 @@ class TestHFConversion:
         finally:
             srv.stop()
 
+    def test_prompt_bucketing_bounded(self, tiny_ref_model):
+        """Prompt shapes that key into jit come from a FINITE bucket set;
+        arbitrarily long prompts truncate (keeping the most recent tokens)
+        instead of compiling a new O(prompt) program per request."""
+        from deepearth_tpu.serving import DeepSeekFlaxEmbedder
+
+        hf_cfg, ref_model = tiny_ref_model
+        cfg, vocab = config_from_hf(hf_cfg)
+        params = convert_hf_state_dict(ref_model.state_dict(), cfg)
+        e = DeepSeekFlaxEmbedder(params, cfg, vocab)
+        max_prompt = e._max_prompt()
+        allowed = {b for b in e.PROMPT_BUCKETS if b <= max_prompt}
+        allowed.add(max_prompt)
+
+        ids, plen = e._bucket_prompt([1, 2, 3])
+        assert plen == 3 and len(ids) in allowed and ids[:3] == [1, 2, 3]
+
+        huge = list(range(100_000))
+        ids, plen = e._bucket_prompt(huge)
+        assert plen == max_prompt and len(ids) in allowed
+        assert ids[plen - 1] == huge[-1]  # most recent tokens kept
+
     def test_cache_compression_at_v3_dims(self):
         """57× cache-ratio claim holds for real V3 dims during decode
         (reference: README.md:29)."""

@@ -780,6 +780,21 @@ class TestDispatchModeMemoryGate:
         b = _dense_all_budget_bytes(MoEConfig())
         assert 256 * 2**20 <= b <= 64 * 2**30
 
+    def test_budget_deterministic_across_live_allocations(self):
+        """The budget is a pure function of (config, device type): live
+        allocations must NOT shift it, or two hosts of one SPMD job (or a
+        train vs eval trace) would compile different dispatch algorithms."""
+        from deepearth_tpu.configs import MoEConfig
+        from deepearth_tpu.models.deepseek import _dense_all_budget_bytes
+
+        cfg = MoEConfig()
+        before = _dense_all_budget_bytes(cfg)
+        big = jnp.ones((1024, 1024, 8), jnp.float32)  # shift bytes_in_use
+        big.block_until_ready()
+        after = _dense_all_budget_bytes(cfg)
+        del big
+        assert before == after
+
     def test_huge_token_count_never_dense_all(self):
         from deepearth_tpu.configs import MoEConfig
         from deepearth_tpu.models.deepseek import select_dispatch_mode

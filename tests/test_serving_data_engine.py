@@ -110,6 +110,22 @@ class TestUnifiedCache:
         with pytest.raises(KeyError):
             cache.get_training_batch([999999])
 
+    def test_null_language_embedding_rows_zero_fill(self):
+        """Reference-schema parquets can carry per-row None in
+        language_embedding (get_language_embedding guards it); the batch
+        path must zero-fill those rows, not crash np.stack."""
+        ds = make_dataset(6)
+        emb = [np.ones(8, np.float32) * i for i in range(6)]
+        emb[2] = None
+        ds.df["language_embedding"] = emb
+        cache = UnifiedDataCache(ds, DatasetConfig(), None, None)
+        ids = ds.df["gbif_id"].to_numpy()[:4]
+        batch = cache.get_training_batch(ids, include_vision=False)
+        lang = batch["modalities"]["language"]
+        assert lang.shape == (4, 8)
+        np.testing.assert_array_equal(lang[2], np.zeros(8))
+        np.testing.assert_array_equal(lang[1], np.ones(8))
+
     def test_pooled_vision(self, tmp_path):
         ds = make_dataset(5)
         ids = ds.df["gbif_id"].to_numpy()[:5]

@@ -278,6 +278,31 @@ class TestFusedAdamW:
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=2e-6, atol=2e-7)
 
+    def test_matches_optax_under_schedule(self):
+        """Schedules must be evaluated at the PRE-increment count like
+        optax.scale_by_schedule: the first update of a 0-init warmup uses
+        lr=schedule(0)=0 (regression test for a one-step schedule shift)."""
+        import optax
+
+        from deepearth_tpu.training.optimizers import fused_adamw
+
+        params, grads = self._tree()
+        sched = optax.linear_schedule(0.0, 1e-2, 10)
+        ref_tx = optax.adamw(sched, b1=0.9, b2=0.999, weight_decay=0.01)
+        new_tx = fused_adamw(sched, b1=0.9, b2=0.999, weight_decay=0.01)
+        p_ref, p_new = params, params
+        s_ref, s_new = ref_tx.init(p_ref), new_tx.init(p_new)
+        for _ in range(4):
+            u_ref, s_ref = ref_tx.update(grads, s_ref, p_ref)
+            p_ref = optax.apply_updates(p_ref, u_ref)
+            u_new, s_new = new_tx.update(grads, s_new, p_new)
+            p_new = optax.apply_updates(p_new, u_new)
+        # first step has lr=0 -> params unchanged in BOTH
+        for a, b in zip(jax.tree_util.tree_leaves(p_ref),
+                        jax.tree_util.tree_leaves(p_new)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-6, atol=2e-7)
+
     def test_factored_memory_and_convergence(self):
         """Factored second moment: row/col fp32 factors for big matrices,
         exact nu for small leaves; loss decreases on a quadratic."""
