@@ -366,10 +366,13 @@ def main():
                 "end_to_end_step_ms": round(e2e_p_s * 1e3, 1),
                 "e2e_fraction_of_device_rate": round(ratio_p, 3),
             },
-            "notes": "h2d over the axon tunnel ships buffers per call at "
-            "~38 MB/s; on a co-located TPU VM host this is PCIe-local. The "
-            "pre-pooled store is the documented mitigation when the "
-            "host-device link cannot carry full 13 MB rows.",
+            "notes": f"h2d over the axon tunnel ships buffers per call at "
+            f"~{208/ max(h2d_s, 1e-9):.0f} MB/s this run (link rate varies "
+            "run to run); on a co-located TPU VM host this is PCIe-local. "
+            "int8_compressed_transfer ships the same rows at half the "
+            "bytes (data/transfer.py); the pre-pooled store is the "
+            "documented mitigation when the link cannot carry full "
+            "13 MB rows.",
         }
 
     with open(OUT, "w") as f:

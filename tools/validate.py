@@ -80,6 +80,7 @@ class DeepEarthValidator:
             "feature_quality",
             "generation",
             "moe_dispatch_modes",
+            "pallas_kernels",
             "adaptive_splat",
             "export_roundtrip",
         ):
@@ -232,6 +233,107 @@ class DeepEarthValidator:
         err = float(jnp.max(jnp.abs(y_sc - y_dense)))
         self.results["moe_dispatch_modes"] = {"max_abs_diff": err}
         assert err < 1e-4, f"dispatch modes diverge: {err}"
+
+    def test_pallas_kernels(self):
+        """Round-3 Pallas kernels vs their XLA references ON THIS BACKEND —
+        CI only exercises interpret mode on CPU; this is the real-silicon
+        equivalence evidence (vmem attention, pairwise tiny-seq attention,
+        int8 fused-dequant matmul, megablox gmm fixed tiling)."""
+        on_tpu = jax.default_backend() == "tpu"
+        out: Dict[str, Any] = {"backend": jax.default_backend()}
+
+        from deepearth_tpu.ops.attention import dot_product_attention
+        from deepearth_tpu.ops.attention_vmem import vmem_attention
+
+        ks = jax.random.split(jax.random.PRNGKey(11), 3)
+        b, h, s, dh = 2, 4, 576, 128
+        q = jax.random.normal(ks[0], (b, h, s, dh), jnp.float32)
+        k = jax.random.normal(ks[1], (b, h, s, dh), jnp.float32)
+        v = jax.random.normal(ks[2], (b, h, s, dh), jnp.float32)
+
+        def xla_ref(q, k, v):  # einsum formulation, no kernel routing
+            s_ = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) * (dh ** -0.5)
+            p = jax.nn.softmax(s_, axis=-1)
+            return jnp.einsum("bhqk,bhkd->bhqd", p, v)
+
+        with jax.default_matmul_precision("highest"):
+            o_k = vmem_attention(q, k, v, scale=dh ** -0.5,
+                                 interpret=not on_tpu)
+            o_r = xla_ref(q, k, v)
+        err_vmem = float(jnp.max(jnp.abs(o_k - o_r)))
+        out["vmem_attention_max_abs_diff"] = err_vmem
+        assert err_vmem < 5e-4, f"vmem kernel diverges: {err_vmem}"
+
+        from deepearth_tpu.ops.attention_smallseq import (
+            pairwise_token_attention,
+        )
+
+        nq, bb, d = 3, 512, 512
+        q2 = jax.random.normal(ks[0], (nq, bb, d), jnp.float32)
+        k2 = jax.random.normal(ks[1], (nq, bb, d), jnp.float32)
+        v2 = jax.random.normal(ks[2], (nq, bb, d), jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            o_pk = pairwise_token_attention(
+                q2, k2, v2, n_heads=4, scale=(d // 4) ** -0.5,
+                use_kernel=True,
+            )
+            o_px = pairwise_token_attention(
+                q2, k2, v2, n_heads=4, scale=(d // 4) ** -0.5,
+                use_kernel=False,
+            )
+        err_pw = float(jnp.max(jnp.abs(o_pk - o_px)))
+        out["pairwise_kernel_max_abs_diff"] = err_pw
+        assert err_pw < 5e-4, f"pairwise kernel diverges: {err_pw}"
+
+        from deepearth_tpu.ops.quant import (
+            dequantize,
+            int8_matmul,
+            quantize_int8,
+        )
+
+        wk = jax.random.normal(ks[1], (256, 384), jnp.float32) * 0.05
+        xq = jax.random.normal(ks[0], (16, 256), jnp.bfloat16)
+        w_q, scale = quantize_int8(wk)
+        y_q = int8_matmul(xq, w_q, scale, interpret=not on_tpu)
+        y_ref = xq.astype(jnp.float32) @ dequantize(w_q, scale)
+        denom = float(jnp.abs(y_ref).max()) + 1e-9
+        err_i8 = float(
+            jnp.max(jnp.abs(y_q.astype(jnp.float32) - y_ref))
+        ) / denom
+        out["int8_matmul_rel_err"] = err_i8
+        assert err_i8 < 0.02, f"int8 kernel diverges: {err_i8}"
+
+        from deepearth_tpu.ops.moe import moe_gate, ragged_expert_ffn
+
+        s_tok, dd, ff, e, kk = 256, 256, 128, 4, 2
+        xg = jax.random.normal(ks[0], (s_tok, dd), jnp.float32)
+        wg = jax.random.normal(ks[1], (e, dd, ff), jnp.float32) * 0.05
+        wu = jax.random.normal(ks[2], (e, dd, ff), jnp.float32) * 0.05
+        wd = jax.random.normal(ks[0], (e, ff, dd), jnp.float32) * 0.05
+        logits = jax.random.normal(ks[1], (s_tok, e), jnp.float32)
+        res = moe_gate(logits, jnp.zeros(e), top_k=kk, n_group=1,
+                       topk_group=1, norm_topk_prob=True,
+                       routed_scaling_factor=1.0)
+        with jax.default_matmul_precision("highest"):
+            y_gmm = ragged_expert_ffn(
+                xg, res.topk_idx, res.topk_weight, wg, wu, wd
+            )
+            per_e = jnp.stack([
+                (jax.nn.silu(xg @ wg[i]) * (xg @ wu[i])) @ wd[i]
+                for i in range(e)
+            ], axis=1)  # (S, E, D)
+            y_ref = jnp.einsum(
+                "sk,skd->sd", res.topk_weight,
+                jnp.take_along_axis(
+                    per_e, res.topk_idx[..., None], axis=1
+                ),
+            )
+        err_gmm = float(jnp.max(jnp.abs(y_gmm - y_ref)))
+        out["ragged_gmm_max_abs_diff"] = err_gmm
+        assert err_gmm < 5e-3, f"gmm diverges: {err_gmm}"
+
+        self.results["pallas_kernels"] = out
 
     def test_adaptive_splat(self):
         """Densify/prune grows the scene and the fit improves (round 2)."""
