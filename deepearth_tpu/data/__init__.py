@@ -8,7 +8,12 @@ from .extractors import (
     VJEPA2Extractor,
     run_parallel_extraction,
 )
-from .batches import collate_observations, device_prefetch, threaded_producer
+from .batches import (
+    collate_observations,
+    device_prefetch,
+    echo_on_device,
+    threaded_producer,
+)
 from .transfer import (
     compress_batch,
     decompress_on_device,
@@ -65,6 +70,7 @@ __all__ = [
     "collate_observations",
     "device_prefetch",
     "device_prefetch_compressed",
+    "echo_on_device",
     "compress_batch",
     "decompress_on_device",
     "quantize_rows",

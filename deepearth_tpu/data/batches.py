@@ -52,6 +52,31 @@ def device_prefetch(
             pass
 
 
+def echo_on_device(
+    iterator: Iterable[Dict[str, Any]],
+    factor: int,
+) -> Iterator[Dict[str, Any]]:
+    """Data echoing (Choi et al. 2019): yield each already-on-device batch
+    ``factor`` times so link-bound pipelines amortize one host→device
+    transfer over several optimizer steps.
+
+    The masked-reconstruction objective re-randomizes which targets are
+    hidden every step (the train step takes a fresh rng), so echoed steps
+    see different prediction problems over the same rows — the standard
+    regime where echoing trades a small statistical-efficiency loss for a
+    large wall-clock win when transfer ≫ compute (here: full 13 MB rows at
+    tunnel/PCIe rates vs a ~100 ms device step, BENCH_E2E.json).
+
+    Wrap AFTER :func:`device_prefetch` so the repeat reuses the device
+    buffer (echoing before transfer would re-ship the same bytes).
+    """
+    if factor < 1:
+        raise ValueError(f"echo factor must be >= 1, got {factor}")
+    for batch in iterator:
+        for _ in range(factor):
+            yield batch
+
+
 def threaded_producer(
     make_iterator, capacity: int = 4
 ) -> Iterator[Dict[str, Any]]:

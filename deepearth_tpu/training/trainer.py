@@ -283,12 +283,24 @@ class Trainer:
         log_every: int = 50,
         save_every: int = 0,
         metric_sink=None,
+        echo_factor: int = 1,
     ) -> Tuple[TrainState, Dict[str, float]]:
         """``metric_sink``: optional object with ``log(metrics, step=)`` —
         e.g. :class:`deepearth_tpu.utils.WandbSink` (wandb-format logging,
-        reference: train_deepearth.py:21,231)."""
+        reference: train_deepearth.py:21,231).
+
+        ``echo_factor``: run each batch through this many optimizer steps
+        (data echoing — each step draws a fresh masking rng). Use when the
+        host→device link, not the chip, bounds throughput; pair with
+        device-side batches (``device_prefetch``) so repeats are free
+        (see ``data.batches.echo_on_device``).
+        """
         acc = MetricAccumulator()
         it = iter(train_batches)
+        if echo_factor > 1:
+            from ..data.batches import echo_on_device
+
+            it = echo_on_device(it, echo_factor)
         t0 = time.time()
         last_metrics: Dict[str, float] = {}
         for step in range(1, num_steps + 1):

@@ -125,6 +125,55 @@ class TestBatches:
         assert len(out) == 4
         assert isinstance(out[0]["xyzt"], jax.Array)
 
+    def test_echo_on_device(self, gen):
+        """Each transferred batch repeats `factor` times reusing the SAME
+        device buffer (no re-transfer), and echoed masked train steps make
+        progress (the step rng re-randomizes targets per echo)."""
+        import jax
+
+        from deepearth_tpu.data import echo_on_device
+
+        it = gen.batch_iterator(2, modalities=("species",), steps=2)
+        out = list(echo_on_device(device_prefetch(it, size=1), factor=3))
+        assert len(out) == 6
+        # echoes share the underlying device buffer — zero extra transfer
+        assert out[0]["xyzt"] is out[1]["xyzt"] is out[2]["xyzt"]
+        assert out[3]["xyzt"] is not out[2]["xyzt"]
+
+        with pytest.raises(ValueError):
+            next(echo_on_device(iter([{}]), factor=0))
+
+        from deepearth_tpu.configs import tiny_config
+        from deepearth_tpu.models import DeepEarthModel
+        from deepearth_tpu.training import (
+            LossWeights,
+            create_optimizer,
+            make_train_step,
+        )
+        from deepearth_tpu.training.trainer import TrainState
+
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        batch = next(iter(gen.batch_iterator(8, modalities=("species",),
+                                             steps=1)))
+        params = model.init(jax.random.PRNGKey(0), batch)["params"]
+        state = TrainState.create(
+            apply_fn=model.apply, params=params,
+            tx=create_optimizer(cfg.optimizer),
+        )
+        step = jax.jit(make_train_step(model, cfg, LossWeights()))
+        losses = []
+        echoed = echo_on_device(device_prefetch(iter([batch])), factor=12)
+        for b in echoed:
+            # fixed masking rng: per-step losses are comparable (random
+            # masks would re-randomize the prediction problem each echo)
+            state, m = step(state, b, jax.random.PRNGKey(7))
+            losses.append(float(m["loss/total"]))
+        assert len(losses) == 12
+        # default optimizer warmup keeps early lr small — progress, not
+        # convergence, is the claim
+        assert losses[-1] < losses[0] - 0.05
+
     def test_threaded_producer(self, gen):
         out = list(
             threaded_producer(
