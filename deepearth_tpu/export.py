@@ -13,16 +13,20 @@ with (static shapes are the TPU contract); export per served batch shape.
 
 from __future__ import annotations
 
-from typing import Any, Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 
 
-def export_fn(fn: Callable, *example_args) -> bytes:
+def export_fn(
+    fn: Callable, *example_args, platforms: Optional[Sequence[str]] = None
+) -> bytes:
     """Serialize ``jit(fn)`` traced at ``example_args`` to portable bytes."""
     from jax import export as jexport
 
-    exp = jexport.export(jax.jit(fn))(*example_args)
+    exp = jexport.export(
+        jax.jit(fn), platforms=list(platforms) if platforms else None
+    )(*example_args)
     return bytes(exp.serialize())
 
 
@@ -46,3 +50,15 @@ def export_forward(model, params, example_batch) -> bytes:
         return out["fused_representation"], out["reconstructions"]
 
     return export_fn(fwd, params, example_batch)
+
+
+def export_model_forward(model, params, example_batch) -> bytes:
+    """Like :func:`export_forward` but with the weights BAKED into the
+    artifact (closed over, not an argument) — the deployment shape where the
+    artifact is the whole model; call the reloaded fn as ``fn(batch)``."""
+
+    def fwd(batch):
+        out = model.apply({"params": params}, batch, deterministic=True)
+        return out["fused_representation"], out["reconstructions"]
+
+    return export_fn(fwd, example_batch)

@@ -349,4 +349,9 @@ def pairwise_token_attention(
         preferred_element_type=jnp.float32,
     )  # (Nq, Nk, B, D)
     out = jnp.sum(pv * v[None, :, :, :].astype(jnp.float32), axis=1)
+    if key_mask is not None:
+        # A row with NO visible key must output ZERO (the convention pinned
+        # by tests/test_attention_vmem.py for every backend). Without this,
+        # all-NEG_INF scores softmax to uniform weights -> mean of v.
+        out = jnp.where(key_mask.any(axis=1)[None, :, None], out, 0.0)
     return out.astype(q.dtype)

@@ -76,8 +76,6 @@ def _ring_attention_local(
             scores = jnp.where(causal[None, None], scores, NEG_INF)
 
         m_new = jnp.maximum(m, scores.max(axis=-1))
-        # guard: if every key so far is masked, m_new stays NEG_INF and the
-        # exp argument is 0 — probabilities all-equal, normalized away below
         p = jnp.exp(scores - m_new[..., None])
         alpha = jnp.exp(m - m_new)
         l = l * alpha + p.sum(axis=-1)
@@ -91,7 +89,14 @@ def _ring_attention_local(
             v = lax.ppermute(v, axis_name, fwd)
             key_mask = lax.ppermute(key_mask, axis_name, fwd)
 
-    out = o / jnp.maximum(l[..., None], 1e-30)
+    # Rows whose running max never left the sentinel saw NO visible key
+    # anywhere on the ring: exp(0)=1 would make out the uniform mean of v.
+    # The convention (pinned by tests/test_attention_vmem.py) is ZERO.
+    out = jnp.where(
+        m[..., None] > NEG_INF / 2,
+        o / jnp.maximum(l[..., None], 1e-30),
+        0.0,
+    )
     return out.astype(q.dtype)
 
 

@@ -164,11 +164,16 @@ class DeepSeekFlaxEmbedder:
     PROMPT_BUCKETS = (64, 128, 256, 512, 1024, 2048)
 
     def _max_prompt(self) -> int:
-        limit = int(
-            getattr(self.cfg, "max_position_embeddings", 0) or 0
-        ) - self.GEN_TOKEN_BUCKETS[-1]
+        mpe = int(getattr(self.cfg, "max_position_embeddings", 0) or 0)
+        limit = mpe - self.GEN_TOKEN_BUCKETS[-1]
         cap = self.PROMPT_BUCKETS[-1]
-        return max(self.PROMPT_BUCKETS[0], min(cap, limit) if limit > 0 else cap)
+        if limit > 0:
+            return max(self.PROMPT_BUCKETS[0], min(cap, limit))
+        # Tiny position table (mpe <= the largest gen bucket): never hand
+        # back the service cap — clamp to the model, reserving at least the
+        # smallest decode bucket, so prompt + decode positions cannot index
+        # past the RoPE/position range.
+        return max(1, min(cap, mpe - self.GEN_TOKEN_BUCKETS[0])) if mpe else cap
 
     def _bucket_prompt(self, ids: List[int]) -> tuple:
         """(padded ids, true length): snap to PROMPT_BUCKETS, truncate to

@@ -7,7 +7,9 @@ from .logging import (
     get_logger,
     setup_logging,
 )
-from .export import export_forward, export_model_forward, load_exported
+# export lives at the package top level (deepearth_tpu/export.py); these
+# re-exports keep the historical utils-path imports working.
+from ..export import export_forward, export_model_forward, load_exported
 from .monitor import ResourceMonitor, resource_snapshot
 from .profiling import StepTimer, benchmark_fn, trace
 from .projection import EmbeddingProjector

@@ -68,13 +68,36 @@ class TestPairwiseTokenAttention:
             atol=5e-6,
         )
 
-    def test_fully_masked_rows_finite(self):
+    def test_fully_masked_rows_zero(self):
+        """All-False key_mask rows output EXACT zero (the convention every
+        backend pins, tests/test_attention_vmem.py) and match the batch-major
+        dot_product_attention path under the same mask."""
         q, k, v = _qkv(jax.random.PRNGKey(3))
         mask = jnp.zeros((B, N), bool)
         out = pairwise_token_attention(
             _tm(q), _tm(k), _tm(v), n_heads=H, scale=Dh**-0.5, key_mask=mask
         )
-        assert bool(jnp.isfinite(out).all())
+        assert bool((out == 0.0).all())
+        np.testing.assert_allclose(
+            np.asarray(_tm(out)),
+            np.asarray(_ref(q, k, v, key_mask=mask)),
+            atol=5e-6,
+        )
+
+    def test_some_rows_fully_masked(self):
+        """Mixed batch: masked-out rows zero, visible rows exact."""
+        q, k, v = _qkv(jax.random.PRNGKey(7))
+        mask = jnp.ones((B, N), bool).at[::2].set(False)
+        out = pairwise_token_attention(
+            _tm(q), _tm(k), _tm(v), n_heads=H, scale=Dh**-0.5, key_mask=mask
+        )
+        out_bm = _tm(out)
+        assert bool((out_bm[::2] == 0.0).all())
+        np.testing.assert_allclose(
+            np.asarray(out_bm),
+            np.asarray(_ref(q, k, v, key_mask=mask)),
+            atol=5e-6,
+        )
 
     def test_rope_identity(self):
         """rope_token_major == apply_rope_half through the layout change."""

@@ -75,6 +75,24 @@ class TestRingAttention:
             np.asarray(out), np.asarray(ref), atol=2e-5
         )
 
+    def test_fully_masked_rows_zero(self):
+        """Batch rows whose key_mask is all-False across EVERY ring shard
+        output exact zero (never the uniform mean of v), matching
+        dot_product_attention's pinned convention."""
+        mesh = create_mesh(jax.devices(), axis_names=("sequence",))
+        q, k, v = self._qkv(jax.random.PRNGKey(7))
+        mask = jnp.ones((q.shape[0], q.shape[2]), bool).at[0].set(False)
+        scale = 0.3
+        ref = dot_product_attention(q, k, v, scale=scale, key_mask=mask)
+        out = ring_attention(
+            q, k, v, scale=scale, mesh=mesh, key_mask=mask,
+            axis_name="sequence",
+        )
+        assert bool((np.asarray(out)[0] == 0.0).all())
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
     def test_gradients_match(self):
         mesh = create_mesh(jax.devices(), axis_names=("sequence",))
         q, k, v = self._qkv(jax.random.PRNGKey(4), n=16)

@@ -121,7 +121,7 @@ class TestExport:
         run_tests.py TorchScript/ONNX export-check equivalent)."""
         from deepearth_tpu.configs import tiny_config
         from deepearth_tpu.models import DeepEarthModel
-        from deepearth_tpu.utils.export import export_model_forward, load_exported
+        from deepearth_tpu.export import export_model_forward, load_exported
 
         cfg = tiny_config()
         model = DeepEarthModel(cfg)

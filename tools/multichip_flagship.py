@@ -102,10 +102,17 @@ def main():
     mesh = create_mesh(devices)
     log(f"mesh: {dict(mesh.shape)}")
 
-    # the 5B flagship (BENCH_FLAGSHIP forward config), trainable settings
+    # the 5B flagship (BENCH_FLAGSHIP forward config), trainable settings.
+    # Remat is MANDATORY here: without it the compiled step's per-device
+    # temp_bytes is 19.2 GB (round-3 artifact) — the sharded state fits but
+    # the step as lowered would OOM a 16 GB chip. encoder_remat checkpoints
+    # the per-modality encoder transformers, fusion remat the 24 MoE fusion
+    # layers (same knobs the single-chip B>=64/96 train path uses,
+    # tools/bench_flagship.py).
+    remat_cfg = {"encoder_remat": True, "fusion_remat": True}
     cfg, model = build_model(
         moe_experts=8, moe_intermediate=2048, n_layers=24,
-        second_moment="factored",
+        second_moment="factored", **remat_cfg,
     )
     B, SV, SL = 16, 576, 16
     batch = jax.eval_shape(
@@ -207,7 +214,16 @@ def main():
     except Exception as e:
         log(f"memory_analysis unavailable: {e}")
 
-    fits = shard_state_b + batch_b / mesh.shape["data"] < 0.8 * HBM_BYTES
+    # The pass criterion is the COMPILED program's per-device footprint from
+    # XLA's memory analysis (round-3 verdict item 1): arguments (the sharded
+    # train state + batch — outputs alias them under donation) plus all
+    # temporaries must fit a 16 GB v5e with 10% headroom. State-only checks
+    # are necessary but not sufficient.
+    peak_b = mem.get("peak_estimate_bytes")
+    fits_state = (
+        shard_state_b + batch_b / mesh.shape["data"] < 0.8 * HBM_BYTES
+    )
+    fits = fits_state and peak_b is not None and peak_b < 0.9 * HBM_BYTES
     result = {
         "mesh": dict(mesh.shape),
         "config": {
@@ -215,6 +231,7 @@ def main():
             "n_layers": 24, "experts": 8, "universal_dim": 2048,
             "batch": B, "s_vision": SV, "s_language": SL,
             "second_moment": "factored", "moment_dtype": "bfloat16",
+            "remat": remat_cfg,
         },
         "memory": {
             "state_total_gb": round(tot_state_b / 1e9, 3),
@@ -225,6 +242,9 @@ def main():
                 batch_b / mesh.shape["data"] / 1e6, 1
             ),
             "fits_16gb_chip": bool(fits),
+            "fits_criterion": "argument_bytes + temp_bytes < 0.9 * 16e9 "
+                              "(per-device, compiled memory_analysis) AND "
+                              "sharded state < 0.8 * 16e9",
             "xla_memory_analysis_per_device": mem,
         },
         "collectives_per_step": {
@@ -239,7 +259,10 @@ def main():
     with open(OUT, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
-    assert fits, "per-shard state does not fit a 16 GB chip"
+    assert fits, (
+        f"compiled step does not fit a 16 GB chip: per-device peak "
+        f"{(peak_b or 0)/1e9:.2f} GB (state/shard {shard_state_b/1e9:.2f} GB)"
+    )
 
 
 if __name__ == "__main__":
