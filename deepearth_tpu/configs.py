@@ -183,6 +183,14 @@ class MLAConfig:
     # the 4608-patch V-JEPA2 path is the intended target.
     use_flash_attention: bool = False
     flash_min_seq: int = 1024
+    # Sequence parallelism: when set (e.g. 'sequence') AND the ambient mesh
+    # (jax.set_mesh) carries that axis with size > 1 and the sequence length
+    # divides it, attention runs as ring attention (parallel/ring.py) with
+    # k/v sharded over the axis — per-device attention memory drops by the
+    # axis size. The batch dim co-shards over ring_batch_axis when present.
+    sequence_axis: Optional[str] = None
+    ring_batch_axis: str = "data"
+    ring_min_seq: int = 512
 
     @property
     def q_head_dim(self) -> int:
@@ -247,6 +255,14 @@ class DeepSeekBlockConfig:
     moe_layer_freq: int = 1
     rms_norm_eps: float = 1e-6
     dropout: float = 0.0
+    # Pipeline parallelism over the layer stack (GPipe, SPMD-style): split
+    # n_layers into `pipeline_stages` equal stages whose stacked parameters
+    # shard over the mesh's 'pipe' axis (parallel/mesh.py param_spec) — each
+    # device holds 1/P of the stack. 0/1 = off. pipeline_microbatches=0
+    # auto-picks the largest M <= 4·P dividing the batch. Program structure
+    # is a pure function of (config, batch shape) — never device state.
+    pipeline_stages: int = 0
+    pipeline_microbatches: int = 0
 
     def __post_init__(self):
         if self.mla is None:
@@ -321,6 +337,12 @@ class ModalityConfig:
     # trainable flagship (the reference's grad-checkpointing flag was never
     # wired — reference: train_deepearth.py:46)
     encoder_remat: bool = False
+    # Sequence parallelism for the encoder transformer: when set (e.g.
+    # 'sequence') and the ambient mesh (jax.set_mesh) carries that axis,
+    # its attention runs as ring attention over the axis — for native
+    # sequences (V-JEPA2's 4608 patches) too long for one chip's HBM.
+    encoder_sequence_axis: Optional[str] = None
+    encoder_ring_min_seq: int = 512
     loss_weight: float = 1.0
     mask_prob: float = 0.15  # per-sample modality masking probability
 

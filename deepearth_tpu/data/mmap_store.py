@@ -32,14 +32,32 @@ class MMapEmbeddingWriter:
         path: str,
         embedding_shape: Sequence[int],
         dtype: str = "float16",
+        append: bool = False,
     ):
+        """``append=True`` continues an existing store: new rows land after
+        the current payload and the index is extended — what lets the
+        conversion of a multi-hundred-GB dataset run chunk-by-chunk with
+        bounded staging disk (reference: prepare_embeddings.py converts the
+        206 GB set from many parquet files)."""
         self.path = path
         self.embedding_shape = tuple(int(s) for s in embedding_shape)
         self.dtype = np.dtype(dtype)
         self._ids: List[int] = []
         self._n_elem = int(np.prod(self.embedding_shape))
         os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
-        self._f = open(path + ".bin", "wb")
+        if append and os.path.exists(path + ".index.npz"):
+            prev = np.load(path + ".index.npz")
+            if tuple(prev["shape"]) != self.embedding_shape:
+                raise ValueError(
+                    f"append shape {self.embedding_shape} != existing "
+                    f"{tuple(prev['shape'])}"
+                )
+            if np.dtype(prev["dtype"][0].decode()) != self.dtype:
+                raise ValueError("append dtype != existing store dtype")
+            self._ids = [int(i) for i in prev["ids"]]
+            self._f = open(path + ".bin", "ab")
+        else:
+            self._f = open(path + ".bin", "wb")
 
     def add(self, obs_id: int, embedding: np.ndarray) -> None:
         arr = np.ascontiguousarray(embedding, dtype=self.dtype)

@@ -137,6 +137,42 @@ class MLAttention(nn.Module):
             ms = yarn_get_mscale(cfg.rope_scaling.factor, cfg.rope_scaling.mscale_all_dim)
             scale = scale * ms * ms
 
+        # -- sequence parallelism (ring attention over the ambient mesh) ----- #
+        # Structure is a pure function of (config, mesh context): the same
+        # decision on every host of an SPMD job.
+        ring_mesh = None
+        if cfg.sequence_axis is not None and N >= cfg.ring_min_seq:
+            am = jax.sharding.get_abstract_mesh()
+            if (
+                not am.empty
+                and cfg.sequence_axis in am.axis_names
+                and int(am.shape[cfg.sequence_axis]) > 1
+                and N % int(am.shape[cfg.sequence_axis]) == 0
+            ):
+                ring_mesh = am
+        if ring_mesh is not None:
+            from ..parallel.ring import ring_attention
+
+            batch_axis = (
+                cfg.ring_batch_axis
+                if cfg.ring_batch_axis in ring_mesh.axis_names
+                and B % int(ring_mesh.shape[cfg.ring_batch_axis]) == 0
+                else None
+            )
+            out = ring_attention(
+                query, key.astype(query.dtype), v.astype(query.dtype),
+                scale=scale, mesh=ring_mesh, axis_name=cfg.sequence_axis,
+                key_mask=key_mask, is_causal=is_causal,
+                batch_axis=batch_axis,
+            ).astype(v.dtype)
+            out = out.transpose(0, 2, 1, 3).reshape(B, N, H * vh)
+            out = dense(cfg.hidden_dim, "o_proj", bias=cfg.attention_bias)(out)
+            if cfg.attention_dropout > 0:
+                out = nn.Dropout(cfg.attention_dropout)(
+                    out, deterministic=deterministic
+                )
+            return out
+
         use_flash = (
             cfg.use_flash_attention
             and N >= cfg.flash_min_seq
@@ -469,6 +505,10 @@ class DeepSeekBlock(nn.Module):
     layer_idx: int = 0
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # Override the layer-pattern MoE decision (pipeline stages share one
+    # param structure, so the dense/MoE choice must be position-independent
+    # inside a stage — set explicitly from the stage's local pattern).
+    force_moe: Optional[bool] = None
 
     @nn.compact
     def __call__(
@@ -484,11 +524,14 @@ class DeepSeekBlock(nn.Module):
             cfg.mla, self.compute_dtype, self.param_dtype, name="self_attn"
         )(h, key_mask=key_mask, is_causal=is_causal, deterministic=deterministic)
 
-        use_moe = (
-            cfg.moe is not None
-            and self.layer_idx >= cfg.first_k_dense_replace
-            and self.layer_idx % cfg.moe_layer_freq == 0
-        )
+        if self.force_moe is not None:
+            use_moe = self.force_moe
+        else:
+            use_moe = (
+                cfg.moe is not None
+                and self.layer_idx >= cfg.first_k_dense_replace
+                and self.layer_idx % cfg.moe_layer_freq == 0
+            )
         h = RMSNorm(eps=cfg.rms_norm_eps, name="post_attention_layernorm")(x)
         if use_moe:
             mlp_out = MoELayer(
@@ -502,9 +545,94 @@ class DeepSeekBlock(nn.Module):
         return x + mlp_out
 
 
+def _layer_uses_moe(cfg: DeepSeekBlockConfig, i: int) -> bool:
+    return (
+        cfg.moe is not None
+        and i >= cfg.first_k_dense_replace
+        and i % cfg.moe_layer_freq == 0
+    )
+
+
+class _PipelineStage(nn.Module):
+    """One pipeline stage: k consecutive decoder blocks with a FIXED
+    dense/MoE pattern (stacked stage params require one structure)."""
+
+    cfg: DeepSeekBlockConfig
+    moe_pattern: tuple
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    is_causal: bool = False
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        block_cls = DeepSeekBlock
+        if self.remat:
+            block_cls = nn.remat(DeepSeekBlock, static_argnums=(2, 3))
+        for i, use_moe in enumerate(self.moe_pattern):
+            x = block_cls(
+                self.cfg, layer_idx=i, force_moe=bool(use_moe),
+                compute_dtype=self.compute_dtype,
+                param_dtype=self.param_dtype, name=f"layer_{i}",
+            )(x, None, self.is_causal, self.deterministic)
+        return x
+
+
+class _PipeTick(nn.Module):
+    """One GPipe tick: feed slot 0, run ALL stages in parallel (vmapped —
+    the stage axis shards over the mesh's 'pipe' axis), stash the last
+    stage's output, rotate activations one slot down."""
+
+    cfg: DeepSeekBlockConfig
+    moe_pattern: tuple
+    n_stages: int
+    n_micro: int
+    compute_dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+    is_causal: bool = False
+    deterministic: bool = True
+
+    @nn.compact
+    def __call__(self, carry, xs):
+        acts, outbuf = carry
+        t, x_in = xs
+        acts = acts.at[0].set(x_in)
+        VStage = nn.vmap(
+            _PipelineStage,
+            variable_axes={"params": 0, "intermediates": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=0,
+            out_axes=0,
+            axis_size=self.n_stages,
+        )
+        ys = VStage(
+            self.cfg, self.moe_pattern,
+            compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
+            remat=self.remat, is_causal=self.is_causal,
+            deterministic=self.deterministic, name="stages",
+        )(acts)
+        oi = jnp.clip(t - (self.n_stages - 1), 0, self.n_micro - 1)
+        write = t >= self.n_stages - 1
+        cur = jax.lax.dynamic_index_in_dim(outbuf, oi, keepdims=False)
+        outbuf = jax.lax.dynamic_update_index_in_dim(
+            outbuf, jnp.where(write, ys[-1], cur), oi, axis=0
+        )
+        return (jnp.roll(ys, 1, axis=0), outbuf), None
+
+
 class DeepSeekTransformer(nn.Module):
     """N decoder blocks + final RMSNorm
-    (reference: encoders/deepseek_components.py:98-120)."""
+    (reference: encoders/deepseek_components.py:98-120).
+
+    With ``cfg.pipeline_stages = P > 1`` the stack runs as an SPMD GPipe
+    pipeline: layers split into P equal stages, per-stage parameters stacked
+    on a leading axis that parallel/mesh.py shards over the mesh's 'pipe'
+    axis (each device holds 1/P of the stack), and a single ``nn.scan`` over
+    M + P - 1 ticks rolls activations between stages (the roll compiles to a
+    collective-permute riding ICI). Exact same math as the sequential stack
+    — the reference has no PP at all (SURVEY.md §2.6)."""
 
     cfg: DeepSeekBlockConfig
     compute_dtype: jnp.dtype = jnp.float32
@@ -519,6 +647,13 @@ class DeepSeekTransformer(nn.Module):
         is_causal: bool = False,
         deterministic: bool = True,
     ) -> jnp.ndarray:
+        if self.cfg.pipeline_stages and self.cfg.pipeline_stages > 1:
+            if key_mask is not None:
+                raise NotImplementedError(
+                    "pipelined DeepSeekTransformer does not take a key_mask"
+                )
+            x = self._pipelined(x, is_causal, deterministic)
+            return RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)
         block_cls = DeepSeekBlock
         if self.remat:
             block_cls = nn.remat(DeepSeekBlock, static_argnums=(2, 3))
@@ -529,6 +664,60 @@ class DeepSeekTransformer(nn.Module):
                 name=f"layer_{i}",
             )(x, key_mask, is_causal, deterministic)
         return RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)
+
+    def _pipelined(self, x, is_causal, deterministic):
+        cfg = self.cfg
+        n_stages = cfg.pipeline_stages
+        k, rem = divmod(cfg.n_layers, n_stages)
+        if rem:
+            raise ValueError(
+                f"n_layers {cfg.n_layers} must divide into "
+                f"{n_stages} pipeline stages"
+            )
+        patterns = [
+            tuple(_layer_uses_moe(cfg, s * k + i) for i in range(k))
+            for s in range(n_stages)
+        ]
+        if any(p != patterns[0] for p in patterns):
+            raise ValueError(
+                "pipeline stages need a uniform dense/MoE layer pattern: "
+                f"got {patterns} (adjust first_k_dense_replace/"
+                "moe_layer_freq or stage count)"
+            )
+
+        B, N, D = x.shape
+        m = cfg.pipeline_microbatches
+        if not m:
+            m = min(4 * n_stages, B)
+            while B % m:
+                m -= 1
+        if B % m:
+            raise ValueError(f"batch {B} % microbatches {m} != 0")
+        mb = B // m
+        ticks = m + n_stages - 1
+
+        x_mb = x.reshape(m, mb, N, D)
+        feed = x_mb[jnp.clip(jnp.arange(ticks), 0, m - 1)]
+        carry0 = (
+            jnp.zeros((n_stages, mb, N, D), x.dtype),
+            jnp.zeros_like(x_mb),
+        )
+        ScanTick = nn.scan(
+            _PipeTick,
+            variable_broadcast="params",
+            variable_axes={"intermediates": 0},
+            split_rngs={"params": False, "dropout": True},
+            length=ticks,
+            in_axes=0,
+            out_axes=0,
+        )
+        (_, outbuf), _ = ScanTick(
+            cfg, patterns[0], n_stages, m,
+            compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
+            remat=self.remat, is_causal=is_causal,
+            deterministic=deterministic, name="pipe",
+        )(carry0, (jnp.arange(ticks), feed))
+        return outbuf.reshape(B, N, D)
 
 
 class DeepSeekForCausalLM(nn.Module):

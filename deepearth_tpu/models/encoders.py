@@ -131,6 +131,10 @@ class UniversalTokenEncoder(nn.Module):
                 v_head_dim=min(head_dim, 128),
                 # the 4608-patch V-JEPA2 path benefits from the flash kernel
                 use_flash_attention=True,
+                # sequence parallelism: ring attention when the ambient mesh
+                # carries the configured axis (parallel/ring.py)
+                sequence_axis=m.encoder_sequence_axis,
+                ring_min_seq=m.encoder_ring_min_seq,
             ),
             moe=None,
         )

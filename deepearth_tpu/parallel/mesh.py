@@ -64,7 +64,7 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def _divisible(dim: int, mesh: Mesh, axis: str) -> bool:
-    return dim % mesh.shape[axis] == 0
+    return axis in mesh.shape and dim % mesh.shape[axis] == 0
 
 
 def param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
@@ -85,6 +85,17 @@ def param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     * everything else replicated.
     """
     leaf = path.split("/")[-1]
+    # pipelined layer stacks (models/deepseek.py _PipeTick 'stages' vmap):
+    # the leading stage axis shards over 'pipe' — each device holds one
+    # stage's weights (1/P of the stack); inner dims follow the normal rules.
+    if "/stages/" in f"/{path}/" and len(shape) >= 1:
+        if _divisible(shape[0], mesh, "pipe") and "pipe" in mesh.shape:
+            inner = param_spec(leaf, shape[1:], mesh)
+            inner_spec = list(inner) + [None] * (
+                len(shape) - 1 - len(inner)
+            )
+            return P("pipe", *inner_spec)
+        return P()
     if leaf in ("w_gate", "w_up", "w_down") and len(shape) == 3:
         spec = [None, None, None]
         if _divisible(shape[0], mesh, "expert"):

@@ -110,12 +110,17 @@ def ring_attention(
     axis_name: str = "sequence",
     key_mask: Optional[jnp.ndarray] = None,
     is_causal: bool = False,
+    batch_axis: Optional[str] = None,
 ) -> jnp.ndarray:
     """Sequence-parallel attention over ``mesh``'s ``axis_name`` ring.
 
     Args mirror ``ops.attention.dot_product_attention``; q/k/v are GLOBAL
     (B, H, N, D) arrays whose sequence dim is (or will be) sharded over
-    ``axis_name``. N must divide evenly by the axis size.
+    ``axis_name``. N must divide evenly by the axis size. ``mesh`` may be a
+    concrete Mesh or the ambient AbstractMesh (jax.set_mesh under jit).
+    ``batch_axis`` additionally co-shards the batch dim (data parallelism
+    composing with SP) — without it the batch is REPLICATED inside the ring
+    body, which is correct but wastes memory on dp×sp meshes.
 
     Returns the exact full-attention result (same float32-softmax math),
     with k/v memory per device reduced by the axis size.
@@ -126,10 +131,14 @@ def ring_attention(
             f"sequence dims {q.shape[2]}/{k.shape[2]} must divide the "
             f"'{axis_name}' axis size {n_shards}"
         )
+    if batch_axis is not None and q.shape[0] % int(mesh.shape[batch_axis]):
+        raise ValueError(
+            f"batch {q.shape[0]} must divide the '{batch_axis}' axis size"
+        )
     if key_mask is None:
         key_mask = jnp.ones((k.shape[0], k.shape[2]), bool)
 
-    seq_spec = P(None, None, axis_name, None)
+    seq_spec = P(batch_axis, None, axis_name, None)
     body = functools.partial(
         _ring_attention_local,
         scale=scale,
@@ -140,7 +149,7 @@ def ring_attention(
     return jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(seq_spec, seq_spec, seq_spec, P(None, axis_name)),
+        in_specs=(seq_spec, seq_spec, seq_spec, P(batch_axis, axis_name)),
         out_specs=seq_spec,
         check_vma=False,
     )(q, k, v, key_mask)

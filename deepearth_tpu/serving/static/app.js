@@ -19,7 +19,11 @@ const S = {
   ecoLabels: null,           // gbif_id -> cluster id (after analysis)
   map: { cx: 0, cy: 0, scale: 1, dragging: false, lastX: 0, lastY: 0 },
   emb: { data: null, yaw: 0.6, pitch: 0.4, dragging: false,
-         lastX: 0, lastY: 0, dims: 2 },
+         lastX: 0, lastY: 0, dims: 2,
+         // animated transitions between projections (reference:
+         // dashboard.js animationParams — duration/easing)
+         anim: { from: null, t0: 0, duration: 700 } },
+  gallery: { built: false, shown: 0, pageSize: 24, observer: null },
   selectedSpecies: "",
   yearBounds: null,
 };
@@ -74,6 +78,7 @@ function switchView(view) {
   document.querySelectorAll(".view").forEach((v) =>
     v.classList.toggle("active", v.id === view));
   if (view === "map-view") drawMap();
+  if (view === "gallery-view" && !S.gallery.built) buildGallery(true);
 }
 
 // ------------------------------------------------------------------ boot --
@@ -102,12 +107,14 @@ async function boot() {
     $("year-min").value = S.yearBounds[0];
     $("year-max").value = S.yearBounds[1];
   }
-  const sel = $("species-filter");
-  for (const s of Object.keys(S.speciesCounts).sort((a, b) => a - b)) {
-    const o = document.createElement("option");
-    o.value = s;
-    o.textContent = `${speciesName(s)} (${S.speciesCounts[s]})`;
-    sel.appendChild(o);
+  for (const selId of ["species-filter", "gallery-species"]) {
+    const sel = $(selId);
+    for (const s of Object.keys(S.speciesCounts).sort((a, b) => a - b)) {
+      const o = document.createElement("option");
+      o.value = s;
+      o.textContent = `${speciesName(s)} (${S.speciesCounts[s]})`;
+      sel.appendChild(o);
+    }
   }
   buildLegend();
   buildSpeciesTable();
@@ -217,6 +224,41 @@ async function drawMap() {
   $("map-status").textContent =
     `${pts.length} / ${S.observations.length} observations shown` +
     (byEco ? " — colored by ecosystem" : "");
+  drawYearlyChart(pts);
+}
+
+// ----------------------------------------------------------- yearly chart --
+// bar chart of observation counts per year for the current filter
+// (reference: dashboard.js yearlyChart)
+function drawYearlyChart(pts) {
+  const c = $("yearly-chart");
+  const ctx = c.getContext("2d");
+  ctx.clearRect(0, 0, c.width, c.height);
+  const counts = {};
+  for (const o of pts) if (o.year != null) counts[o.year] = (counts[o.year] || 0) + 1;
+  const years = Object.keys(counts).map(Number).sort((a, b) => a - b);
+  if (!years.length) {
+    $("yearly-caption").textContent = "no dated observations";
+    return;
+  }
+  const [y0, y1] = [years[0], years[years.length - 1]];
+  const span = y1 - y0 + 1;
+  const maxC = Math.max(...Object.values(counts));
+  const bw = Math.max(2, Math.floor((c.width - 4) / span) - 1);
+  for (let y = y0; y <= y1; y++) {
+    const n = counts[y] || 0;
+    const h = n ? Math.max(2, (c.height - 14) * (n / maxC)) : 0;
+    const x = 2 + (y - y0) * ((c.width - 4) / span);
+    ctx.fillStyle = n ? "rgba(78,168,111,.85)" : "rgba(120,130,140,.2)";
+    ctx.fillRect(x, c.height - 12 - h, bw, h || 1);
+  }
+  ctx.fillStyle = "rgba(216,222,230,.7)";
+  ctx.font = "9px system-ui";
+  ctx.fillText(String(y0), 2, c.height - 2);
+  const w1 = ctx.measureText(String(y1)).width;
+  ctx.fillText(String(y1), c.width - w1 - 2, c.height - 2);
+  $("yearly-caption").textContent =
+    `${span} years, peak ${maxC} obs/yr`;
 }
 
 function buildLegend() {
@@ -356,6 +398,73 @@ async function loadSpeciesObservations(s) {
   }
 }
 
+// ------------------------------------------------------------ image gallery --
+// lazy grid over /api/image_proxy: tiles only fetch their image when they
+// scroll into view (reference: dashboard.js image gallery, on-demand
+// loading), paged with "Load more". Tiles whose observation has no local
+// image hide themselves on error (zero-egress build serves image_dir only).
+function galleryCandidates() {
+  const sp = $("gallery-species").value;
+  const visOnly = $("gallery-vision-only").checked;
+  return S.observations.filter((o) => {
+    if (sp !== "" && String(o.species) !== sp) return false;
+    if (visOnly && !S.visionIds.has(o.gbif_id)) return false;
+    return true;
+  });
+}
+
+function buildGallery(reset) {
+  const grid = $("gallery-grid");
+  if (reset) {
+    grid.innerHTML = "";
+    S.gallery.shown = 0;
+    if (S.gallery.observer) S.gallery.observer.disconnect();
+    S.gallery.observer = new IntersectionObserver((entries) => {
+      for (const en of entries) {
+        if (!en.isIntersecting) continue;
+        const img = en.target;
+        if (!img.src && img.dataset.src) img.src = img.dataset.src;
+        S.gallery.observer.unobserve(img);
+      }
+    }, { root: null, rootMargin: "200px" });
+  }
+  S.gallery.built = true;
+  const cands = galleryCandidates();
+  const page = cands.slice(
+    S.gallery.shown, S.gallery.shown + S.gallery.pageSize);
+  for (const o of page) {
+    const tile = document.createElement("figure");
+    tile.className = "gallery-tile";
+    const img = document.createElement("img");
+    img.dataset.src = `/api/image_proxy/${o.gbif_id}/1`;
+    img.alt = speciesName(o.species);
+    img.loading = "lazy";
+    img.onerror = () => { tile.classList.add("hidden"); };
+    img.addEventListener("click", () => {
+      switchView("map-view");
+      showObservation(o.gbif_id);
+    });
+    const cap = document.createElement("figcaption");
+    cap.innerHTML =
+      `<span class="swatch" style="background:${css(speciesColor(o.species))}"></span>` +
+      `${speciesName(o.species)} <span class="muted">#${o.gbif_id}</span>`;
+    tile.appendChild(img);
+    tile.appendChild(cap);
+    grid.appendChild(tile);
+    S.gallery.observer.observe(img);
+  }
+  S.gallery.shown += page.length;
+  $("gallery-status").textContent =
+    `${S.gallery.shown} / ${cands.length} images (loaded on demand)`;
+  $("gallery-more").disabled = S.gallery.shown >= cands.length;
+}
+
+(() => {
+  $("gallery-more").addEventListener("click", () => buildGallery(false));
+  ["gallery-species", "gallery-vision-only"].forEach((id) =>
+    $(id).addEventListener("change", () => buildGallery(true)));
+})();
+
 // ---------------------------------------------------------- feature viewer --
 function buildFeatureSelect() {
   const sel = $("feature-gbif");
@@ -444,18 +553,43 @@ async function loadEmbeddings() {
   try {
     const d = await api(
       `/api/${which}_umap?max_items=${n}&n_components=${dims}`);
+    // animated transition: lerp from the previous projection's positions
+    // (matched by observation id) to the new ones (reference: dashboard.js
+    // animationParams — eased, ~700 ms)
+    const from = new Map();
+    if (S.emb.data) {
+      S.emb.data.ids.forEach((id, i) => {
+        const p = S.emb.data.projection[i];
+        from.set(id, [p[0], p[1], p[2] || 0]);
+      });
+    }
     S.emb.data = d; S.emb.dims = dims;
     const bySpecies = {};
     for (const o of S.observations) bySpecies[o.gbif_id] = o.species;
     S.emb.species = d.ids.map((i) => bySpecies[i]);
     $("embedding-status").textContent =
       `${d.ids.length} ${which} embeddings, ${dims}-D projection`;
-    drawEmbeddings();
+    if (from.size) startEmbeddingAnimation(from);
+    else drawEmbeddings();
   } catch (e) {
     $("embedding-status").textContent = `unavailable: ${e.message}`;
   }
 }
 $("load-embeddings").addEventListener("click", loadEmbeddings);
+
+const easeInOut = (t) => (t < 0.5 ? 2 * t * t : 1 - 2 * (1 - t) * (1 - t));
+
+function startEmbeddingAnimation(from) {
+  S.emb.anim.from = from;
+  S.emb.anim.t0 = performance.now();
+  const tick = () => {
+    const t = (performance.now() - S.emb.anim.t0) / S.emb.anim.duration;
+    drawEmbeddings(Math.min(t, 1));
+    if (t < 1 && S.emb.anim.from) requestAnimationFrame(tick);
+    else S.emb.anim.from = null;
+  };
+  requestAnimationFrame(tick);
+}
 
 function embProject(p) {
   // rotate 3-D points by yaw/pitch then drop z (orthographic)
@@ -468,13 +602,22 @@ function embProject(p) {
   return [x1, y1];
 }
 
-function drawEmbeddings() {
+function drawEmbeddings(animT) {
   const d = S.emb.data;
   if (!d) return;
   const c = $("embedding-canvas");
   const ctx = c.getContext("2d");
   ctx.clearRect(0, 0, c.width, c.height);
-  const pts = d.projection.map(embProject);
+  let coords = d.projection;
+  if (animT != null && animT < 1 && S.emb.anim.from) {
+    const a = easeInOut(animT);
+    coords = d.projection.map((p, i) => {
+      const f = S.emb.anim.from.get(d.ids[i]);
+      if (!f) return p;
+      return p.map((v, k) => f[k] + (v - f[k]) * a);
+    });
+  }
+  const pts = coords.map(embProject);
   const xs = pts.map((p) => p[0]), ys = pts.map((p) => p[1]);
   const [x0, x1] = [Math.min(...xs), Math.max(...xs)];
   const [y0, y1] = [Math.min(...ys), Math.max(...ys)];

@@ -31,7 +31,14 @@ SMOOTH_K_TOLERANCE = 1e-5
 MIN_K_DIST_SCALE = 1e-3
 
 
-def _knn(x: np.ndarray, n_neighbors: int, metric: str):
+# Above this many points, _knn switches from exact brute force (O(N²D)) to
+# NN-descent (round-3 verdict item 7: 33k × 7168-d took minutes exact;
+# umap-learn itself uses NN-descent — reference: dashboard/umap_optimized.py
+# runs pynndescent through umap.UMAP).
+NN_DESCENT_THRESHOLD = 8192
+
+
+def _knn_exact(x: np.ndarray, n_neighbors: int, metric: str):
     """Exact kNN (self excluded) via sklearn; returns (indices, distances)."""
     from sklearn.neighbors import NearestNeighbors
 
@@ -39,6 +46,121 @@ def _knn(x: np.ndarray, n_neighbors: int, metric: str):
     nn.fit(x)
     dist, idx = nn.kneighbors(x)
     return idx[:, 1:], dist[:, 1:].astype(np.float64)
+
+
+def _reverse_sample(idx: np.ndarray, k: int, rng: np.random.Generator):
+    """Up to k reverse neighbors per point (who lists me?), random fill."""
+    n, kk = idx.shape
+    src = np.repeat(np.arange(n), kk)
+    dst = idx.ravel()
+    order = np.argsort(dst, kind="stable")
+    dst_s, src_s = dst[order], src[order]
+    starts = np.searchsorted(dst_s, np.arange(n))
+    counts = np.searchsorted(dst_s, np.arange(n) + 1) - starts
+    take = np.minimum(counts, k)
+    pos = starts[:, None] + np.arange(k)[None, :]
+    valid = np.arange(k)[None, :] < take[:, None]
+    vals = src_s[np.where(valid, pos, 0)]
+    return np.where(valid, vals, rng.integers(0, n, (n, k)))
+
+
+def _knn_nn_descent(
+    x: np.ndarray,
+    n_neighbors: int,
+    metric: str,
+    rng: np.random.Generator,
+    n_iters: int = 12,
+    min_update_frac: float = 0.001,
+):
+    """Approximate kNN by NN-descent (Dong et al. 2011), vectorized numpy.
+
+    Per iteration each point's candidate pool is its current neighbors,
+    their neighbors (the NN-descent local join), sampled REVERSE neighbors,
+    and a few random probes; the pool is distance-ranked and the k best
+    unique ids kept. Converges when fewer than ``min_update_frac`` of
+    neighbor slots change. Recall ≥0.9 vs exact kNN is pinned by
+    tests/test_umap_native.py on 5k points.
+
+    cosine is served by running on L2-normalized rows (d_cos = ‖u−v‖²/2 on
+    the unit sphere, order-preserving and exact).
+    """
+    n, d = x.shape
+    k = n_neighbors
+    xw = np.ascontiguousarray(x, np.float32)
+    if metric == "cosine":
+        xw = xw / np.maximum(
+            np.linalg.norm(xw, axis=1, keepdims=True), 1e-12
+        )
+    elif metric != "euclidean":
+        raise ValueError(f"nn-descent supports euclidean/cosine, got {metric}")
+    sq = (xw * xw).sum(axis=1)
+
+    idx = rng.integers(0, n, (n, k))
+    n_rand = max(k // 2, 1)
+    # chunk so the gathered (chunk, m, d) candidate block stays ~256 MB
+    m_guess = k * k + 2 * k + n_rand
+
+    for it in range(n_iters):
+        non = idx[idx.ravel()].reshape(n, k * k)
+        rev = _reverse_sample(idx, k, rng)
+        rand = rng.integers(0, n, (n, n_rand))
+        cand = np.concatenate([idx, non, rev, rand], axis=1)
+        m = cand.shape[1]
+        chunk = max(16, int(2 ** 26 / max(m * d, 1)))
+        new_idx = np.empty((n, k), np.int64)
+        new_dsq = np.empty((n, k), np.float64)
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            c = cand[s:e]
+            rows = np.arange(s, e)
+            dots = np.einsum(
+                "cd,cmd->cm", xw[rows], xw[c], optimize=True
+            )
+            dsq = np.maximum(
+                sq[rows][:, None] + sq[c] - 2.0 * dots, 0.0
+            ).astype(np.float64)
+            dsq[c == rows[:, None]] = np.inf  # exclude self
+            # unique-per-row: id-sort, kill repeats, then distance-rank
+            id_order = np.argsort(c, axis=1, kind="stable")
+            c_s = np.take_along_axis(c, id_order, 1)
+            d_s = np.take_along_axis(dsq, id_order, 1)
+            dup = np.zeros_like(c_s, bool)
+            dup[:, 1:] = c_s[:, 1:] == c_s[:, :-1]
+            d_s[dup] = np.inf
+            sel = np.argpartition(d_s, k - 1, axis=1)[:, :k]
+            dk = np.take_along_axis(d_s, sel, 1)
+            ck = np.take_along_axis(c_s, sel, 1)
+            o = np.argsort(dk, axis=1)
+            new_idx[s:e] = np.take_along_axis(ck, o, 1)
+            new_dsq[s:e] = np.take_along_axis(dk, o, 1)
+        changed = int((np.sort(new_idx, 1) != np.sort(idx, 1)).sum())
+        idx = new_idx
+        if it > 0 and changed < min_update_frac * n * k:
+            break
+
+    if metric == "cosine":
+        dist = new_dsq / 2.0
+    else:
+        dist = np.sqrt(new_dsq)
+    return idx, dist
+
+
+def _knn(x: np.ndarray, n_neighbors: int, metric: str,
+         method: str = "auto", random_state: int = 42):
+    """kNN graph (self excluded): exact brute force for small N, NN-descent
+    above NN_DESCENT_THRESHOLD (method='exact'/'nnd' forces a path)."""
+    n = x.shape[0]
+    use_nnd = method == "nnd" or (
+        method == "auto"
+        and n > NN_DESCENT_THRESHOLD
+        and metric in ("euclidean", "cosine")
+    )
+    if use_nnd:
+        return _knn_nn_descent(
+            np.asarray(x, np.float32), n_neighbors, metric,
+            np.random.default_rng(random_state),
+        )
+    return _knn_exact(x, n_neighbors, metric)
 
 
 def smooth_knn_dist(distances: np.ndarray, k: float, n_iter: int = 64):
@@ -258,7 +380,9 @@ class NativeUMAP:
             self.embedding_ = out
             return out
         k = int(min(self.n_neighbors, n - 1))
-        idx, dist = _knn(x, k, self.metric)
+        idx, dist = _knn(
+            x, k, self.metric, random_state=self.random_state
+        )
         graph = fuzzy_simplicial_set(idx, dist, n)
 
         n_epochs = self.n_epochs or (500 if n <= 10_000 else 200)

@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     ap = argparse.ArgumentParser(description="parquet → mmap embedding store")
-    ap.add_argument("--input", required=True, help="parquet file")
+    ap.add_argument("--input", required=True, nargs="+",
+                    help="parquet file(s), converted in order")
+    ap.add_argument("--append", action="store_true",
+                    help="extend an existing store instead of overwriting "
+                         "(chunked conversion with bounded staging disk)")
     ap.add_argument("--id-column", default="gbif_id")
     ap.add_argument("--embedding-column", default="embedding")
     ap.add_argument("--shape", type=int, nargs="+", required=True,
@@ -40,34 +44,39 @@ def main():
     from deepearth_tpu.data import MMapEmbeddingLoader, MMapEmbeddingWriter
 
     t0 = time.time()
-    pf = pq.ParquetFile(args.input)
     n_written = 0
-    with MMapEmbeddingWriter(args.output, args.shape, args.dtype) as w:
-        for batch in pf.iter_batches(
-            batch_size=args.batch_rows,
-            columns=[args.id_column, args.embedding_column],
-        ):
-            ids = batch.column(args.id_column).to_pylist()
-            col = batch.column(args.embedding_column)
-            try:
-                # fast path for (fixed-size-)list columns: flatten to one
-                # contiguous numpy buffer instead of 6.5M-element pylists
-                # (the reference row is 6,488,064 floats — to_pylist() on
-                # those is ~100× slower)
-                if hasattr(col, "combine_chunks"):
-                    col = col.combine_chunks()
-                embs = (
-                    col.flatten()
-                    .to_numpy(zero_copy_only=False)
-                    .reshape(len(ids), -1)
-                )
-            except Exception:
-                embs = col.to_pylist()
-            for oid, emb in zip(ids, embs):
-                w.add(int(oid), np.asarray(emb, np.float32).reshape(args.shape))
-                n_written += 1
-            if n_written % 1000 < args.batch_rows:
-                print(f"  {n_written} embeddings written...", flush=True)
+    with MMapEmbeddingWriter(
+        args.output, args.shape, args.dtype, append=args.append
+    ) as w:
+        for path in args.input:
+            pf = pq.ParquetFile(path)
+            for batch in pf.iter_batches(
+                batch_size=args.batch_rows,
+                columns=[args.id_column, args.embedding_column],
+            ):
+                ids = batch.column(args.id_column).to_pylist()
+                col = batch.column(args.embedding_column)
+                try:
+                    # fast path for (fixed-size-)list columns: flatten to one
+                    # contiguous numpy buffer instead of 6.5M-element pylists
+                    # (the reference row is 6,488,064 floats — to_pylist() on
+                    # those is ~100× slower)
+                    if hasattr(col, "combine_chunks"):
+                        col = col.combine_chunks()
+                    embs = (
+                        col.flatten()
+                        .to_numpy(zero_copy_only=False)
+                        .reshape(len(ids), -1)
+                    )
+                except Exception:
+                    embs = col.to_pylist()
+                for oid, emb in zip(ids, embs):
+                    w.add(
+                        int(oid), np.asarray(emb, np.float32).reshape(args.shape)
+                    )
+                    n_written += 1
+                if n_written % 1000 < args.batch_rows:
+                    print(f"  {n_written} embeddings written...", flush=True)
 
     loader = MMapEmbeddingLoader(args.output)
     # verification pass (reference: prepare_embeddings.py:290)

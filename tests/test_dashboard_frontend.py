@@ -205,3 +205,53 @@ class TestApiContract:
         d = get_json(server, "/api/grid_statistics?n_bins=12")
         assert np.asarray(d["grid"]).shape == (12, 12)
         assert len(d["lat_edges"]) == 13 and len(d["lon_edges"]) == 13
+
+
+class TestRound4FrontendTail:
+    """Round-4 features (reference: dashboard/static/js/dashboard.js —
+    image gallery ~:29-33, yearlyChart :15, animationParams :24-28)."""
+
+    def test_gallery_dom_and_lazy_loading(self, server):
+        _, html_b = get(server, "/")
+        html = html_b.decode()
+        for eid in [
+            'id="gallery-view"', 'id="gallery-grid"', 'id="gallery-species"',
+            'id="gallery-more"', 'id="gallery-status"', 'id="tab-gallery"',
+        ]:
+            assert eid in html, f"missing {eid}"
+        _, js_b = get(server, "/ui/app.js")
+        js = js_b.decode()
+        # on-demand loading: tiles must NOT fetch eagerly — images get their
+        # src only when scrolled into view
+        assert "IntersectionObserver" in js
+        assert "dataset.src" in js
+        assert "image_proxy" in js
+
+    def test_yearly_chart_dom(self, server):
+        _, html_b = get(server, "/")
+        assert 'id="yearly-chart"' in html_b.decode()
+        _, js_b = get(server, "/ui/app.js")
+        js = js_b.decode()
+        assert "drawYearlyChart" in js
+        # chart redraws with the map filter (counts follow the filter state)
+        assert "drawYearlyChart(pts)" in js
+
+    def test_embedding_animation(self, server):
+        _, js_b = get(server, "/ui/app.js")
+        js = js_b.decode()
+        assert "requestAnimationFrame" in js
+        assert "startEmbeddingAnimation" in js
+        assert "easeInOut" in js
+
+    def test_image_proxy_contract(self, server):
+        """Gallery tiles point at /api/image_proxy/<gbif>/<n>; without a
+        local image dir the route must 404 cleanly (tiles hide on error)."""
+        gid = get_json(server, "/api/observations?limit=1")["observations"][0][
+            "gbif_id"
+        ]
+        with pytest.raises(urllib.error.HTTPError) as e:
+            urllib.request.urlopen(
+                server + f"/api/image_proxy/{gid}/1", timeout=30
+            )
+        assert e.value.code == 404
+        assert "error" in json.loads(e.value.read())

@@ -302,3 +302,151 @@ class TestPipeline:
         with pytest.raises(ValueError):
             pipeline_apply(_mlp_stage, stacked3, x, mesh=mesh,
                            n_microbatches=4)
+
+
+# ---------------------------------------------------------------------------
+# Model-level wiring (round 4): DeepSeekTransformer pipeline_stages knob and
+# MLAttention's ring-attention sequence_axis knob — the product features that
+# consume the primitives above.
+# ---------------------------------------------------------------------------
+
+
+class TestPipelinedTransformer:
+    """cfg.pipeline_stages > 1 runs the stack as an in-model GPipe pipeline
+    (models/deepseek.py _PipeTick); exact equality with the sequential
+    stack, forward and gradients."""
+
+    def _cfg(self, **kw):
+        import dataclasses
+
+        from deepearth_tpu.configs import (
+            DeepSeekBlockConfig, MLAConfig, MoEConfig,
+        )
+
+        base = DeepSeekBlockConfig(
+            hidden_dim=64, n_layers=4, intermediate_size=128,
+            mla=MLAConfig(
+                hidden_dim=64, n_heads=4, kv_lora_rank=32,
+                qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+            ),
+            moe=MoEConfig(
+                n_routed_experts=4, num_experts_per_tok=2, hidden_dim=64,
+                moe_intermediate_size=64,
+            ),
+            first_k_dense_replace=0, moe_layer_freq=1,
+        )
+        return dataclasses.replace(base, **kw)
+
+    @staticmethod
+    def _stack_from_seq(p0, n_stages, k):
+        stages = {
+            f"layer_{i}": jax.tree_util.tree_map(
+                lambda *ls: jnp.stack(ls),
+                *[p0[f"layer_{s * k + i}"] for s in range(n_stages)],
+            )
+            for i in range(k)
+        }
+        return {"pipe": {"stages": stages}, "norm": p0["norm"]}
+
+    def test_matches_sequential_fwd_and_grad(self):
+        from deepearth_tpu.models.deepseek import DeepSeekTransformer
+
+        cfg0 = self._cfg()
+        cfg_pp = self._cfg(pipeline_stages=2, pipeline_microbatches=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 6, 64))
+        m0, mp = DeepSeekTransformer(cfg0), DeepSeekTransformer(cfg_pp)
+        p0 = m0.init(jax.random.PRNGKey(1), x)["params"]
+        pp = self._stack_from_seq(p0, 2, 2)
+        assert jax.tree_util.tree_structure(pp) == (
+            jax.tree_util.tree_structure(mp.init(jax.random.PRNGKey(1), x)["params"])
+        )
+        o0 = m0.apply({"params": p0}, x)
+        op = mp.apply({"params": pp}, x)
+        np.testing.assert_allclose(
+            np.asarray(op), np.asarray(o0), atol=1e-5
+        )
+        g0 = jax.grad(lambda p: (m0.apply({"params": p}, x) ** 2).sum())(p0)
+        gp = jax.grad(lambda p: (mp.apply({"params": p}, x) ** 2).sum())(pp)
+        errs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            gp, self._stack_from_seq(g0, 2, 2),
+        )
+        assert max(jax.tree_util.tree_leaves(errs)) < 1e-4
+
+    def test_stage_params_shard_over_pipe(self):
+        """parallel/mesh.py assigns P('pipe', ...) to the stacked stage
+        leaves; each device holds 1/P of the stack."""
+        from deepearth_tpu.models.deepseek import DeepSeekTransformer
+        from deepearth_tpu.parallel import make_param_shardings
+
+        cfg_pp = self._cfg(pipeline_stages=2, pipeline_microbatches=4)
+        x = jnp.zeros((4, 6, 64))
+        params = DeepSeekTransformer(cfg_pp).init(
+            jax.random.PRNGKey(0), x
+        )["params"]
+        mesh = create_mesh(jax.devices(), mesh_shape=(4, 2),
+                           axis_names=("data", "pipe"))
+        sh = make_param_shardings(params, mesh)
+        kernel_sh = sh["pipe"]["stages"]["layer_0"]["self_attn"][
+            "kv_a_proj_with_mqa"
+        ]["kernel"]
+        assert kernel_sh.spec[0] == "pipe", kernel_sh.spec
+        norm_sh = sh["norm"]["weight"]
+        assert norm_sh.spec == ()  # unstacked leaves stay replicated
+
+    def test_nonuniform_pattern_rejected(self):
+        from deepearth_tpu.models.deepseek import DeepSeekTransformer
+
+        cfg = self._cfg(first_k_dense_replace=1, pipeline_stages=4)
+        x = jnp.zeros((4, 6, 64))
+        with pytest.raises(ValueError, match="uniform"):
+            DeepSeekTransformer(cfg).init(jax.random.PRNGKey(0), x)
+
+
+class TestRingAttentionKnob:
+    """MLAConfig.sequence_axis routes MLAttention through ring attention
+    when the ambient mesh (jax.set_mesh) carries the axis."""
+
+    def _mla_cfg(self, **kw):
+        from deepearth_tpu.configs import MLAConfig
+
+        return MLAConfig(
+            hidden_dim=64, n_heads=4, kv_lora_rank=32,
+            qk_rope_head_dim=8, qk_nope_head_dim=16, v_head_dim=16,
+            **kw,
+        )
+
+    def test_ring_equals_dense_inside_model(self):
+        from deepearth_tpu.models.deepseek import MLAttention
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (4, 16, 64))
+        m_ref = MLAttention(self._mla_cfg())
+        m_ring = MLAttention(
+            self._mla_cfg(sequence_axis="sequence", ring_min_seq=8)
+        )
+        params = m_ref.init(jax.random.PRNGKey(1), x)["params"]
+        ref = m_ref.apply({"params": params}, x)
+        mesh = create_mesh(jax.devices(), mesh_shape=(2, 4),
+                           axis_names=("data", "sequence"))
+        with jax.set_mesh(mesh):
+            out = jax.jit(
+                lambda p, x: m_ring.apply({"params": p}, x)
+            )(params, x)
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=2e-5
+        )
+
+    def test_no_mesh_falls_back(self):
+        """Without an ambient mesh the knob is inert (same params, same
+        output, no error)."""
+        from deepearth_tpu.models.deepseek import MLAttention
+
+        x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 64))
+        m_ring = MLAttention(
+            self._mla_cfg(sequence_axis="sequence", ring_min_seq=8)
+        )
+        m_ref = MLAttention(self._mla_cfg())
+        params = m_ref.init(jax.random.PRNGKey(1), x)["params"]
+        out = m_ring.apply({"params": params}, x)
+        ref = m_ref.apply({"params": params}, x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=0)

@@ -122,6 +122,68 @@ class TestLayoutQuality:
         assert emb.shape == (3, 3) and np.isfinite(emb).all()
 
 
+class TestNNDescent:
+    """NN-descent approximate kNN (round-4: umap-learn parity for the 33k
+    store; reference dashboard/umap_optimized.py runs pynndescent)."""
+
+    def test_recall_vs_exact_5k(self):
+        from deepearth_tpu.utils.umap_native import _knn_exact, _knn_nn_descent
+
+        rng = np.random.default_rng(0)
+        # clustered data (the realistic hard case for random-init descent)
+        centers = rng.normal(0, 5, (25, 32))
+        x = (
+            centers[rng.integers(0, 25, 5000)]
+            + rng.normal(0, 1.0, (5000, 32))
+        ).astype(np.float32)
+        k = 15
+        idx_e, _ = _knn_exact(x, k, "euclidean")
+        idx_a, dist_a = _knn_nn_descent(
+            x, k, "euclidean", np.random.default_rng(1)
+        )
+        hits = sum(
+            len(set(idx_e[i]) & set(idx_a[i])) for i in range(5000)
+        )
+        recall = hits / (5000 * k)
+        assert recall >= 0.9, f"nn-descent recall {recall:.3f} < 0.9"
+        assert np.isfinite(dist_a).all()
+        # distances are sorted ascending per row
+        assert (np.diff(dist_a, axis=1) >= 0).all()
+
+    def test_cosine_matches_exact_metric(self):
+        from deepearth_tpu.utils.umap_native import _knn_exact, _knn_nn_descent
+
+        rng = np.random.default_rng(2)
+        x = rng.normal(0, 1, (1500, 24)).astype(np.float32)
+        k = 10
+        idx_e, dist_e = _knn_exact(x, k, "cosine")
+        idx_a, dist_a = _knn_nn_descent(
+            x, k, "cosine", np.random.default_rng(3), n_iters=15
+        )
+        hits = sum(
+            len(set(idx_e[i]) & set(idx_a[i])) for i in range(1500)
+        )
+        assert hits / (1500 * k) >= 0.9
+        # where the neighbor matches, the cosine distance matches too
+        match = idx_a[:, 0] == idx_e[:, 0]
+        np.testing.assert_allclose(
+            dist_a[match, 0], dist_e[match, 0], atol=1e-5
+        )
+
+    def test_auto_routing(self):
+        from deepearth_tpu.utils import umap_native as un
+
+        x = np.random.default_rng(4).normal(0, 1, (64, 8)).astype(np.float32)
+        # small N: auto == exact
+        idx_auto, _ = _knn(x, 5, "euclidean", method="auto")
+        idx_exact, _ = _knn(x, 5, "euclidean", method="exact")
+        np.testing.assert_array_equal(idx_auto, idx_exact)
+        # forced nnd works at small N too
+        idx_nnd, _ = _knn(x, 5, "euclidean", method="nnd")
+        hits = sum(len(set(a) & set(b)) for a, b in zip(idx_nnd, idx_exact))
+        assert hits / (64 * 5) >= 0.9
+
+
 class TestProjectorIntegration:
     def test_auto_resolves_to_umap(self, tmp_path):
         from deepearth_tpu.utils.projection import EmbeddingProjector

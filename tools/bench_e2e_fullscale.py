@@ -1,0 +1,361 @@
+"""Full-scale synthetic soak of the data path (round-4 verdict item 4).
+
+The reference demonstrably trained on 33,665 observations with 7,113 full
+12.97 MB vision rows (206 GB mmap store) — reference:
+dashboard/dataset_config.json statistics, dashboard/README.md:147-151,
+training/deepearth_multimodal_training.py:325. The repo's prior e2e proof
+ran at 48 observations. This tool pushes the WHOLE pipeline at half
+reference scale (configurable):
+
+  1. synthesize observations.parquet (reference schema: gbif_id /
+     taxon_name / lat/lon / y/m/d / per-row 7168-d language_embedding /
+     split) at >=33k rows;
+  2. synthesize >=3,500 FULL 6,488,064-float vision rows in bounded-disk
+     chunks, each converted through the REAL scripts/prepare_data.py CLI
+     (--append) into one mmap store (~45 GB fp16), staging chunks deleted
+     as they convert;
+  3. store stats: size, cold single-row latency on FRESH random rows
+     (the hypervisor cache trap — CLAUDE.md), batch-of-100 fetch
+     (reference baselines #1/#2: ~71 ms/row, ~25 ms/item);
+  4. ONE full training epoch over all observations with the pooled-store
+     path: threaded batch assembly -> device_prefetch -> jit train step;
+     records epoch wall time, end-to-end obs/s, and the device-only rate
+     (same step on a resident batch) for the data-stall fraction;
+  5. linear probe on the trained embeddings + the dashboard's
+     POST /api/training/batch over real HTTP against the same store.
+
+Writes BENCH_E2E_FULLSCALE.json.
+
+Run: PYTHONPATH=/root/.axon_site:/root/repo python tools/bench_e2e_fullscale.py
+     (--n-obs 1200 --n-vision 40 --steps-cap 8 for a quick smoke)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+VISION_FLAT = 6_488_064
+VISION_SHAPE = (8, 24, 24, 1408)
+LANGUAGE_DIM = 7168
+BOUNDS = {"north": 28.978, "south": 28.033, "east": -80.902, "west": -81.934}
+YEARS = (2010, 2025)
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def write_observations(path, n_obs, n_species, n_vision, rng):
+    import pandas as pd
+
+    sp = rng.integers(0, n_species, n_obs)
+    year = rng.integers(YEARS[0], YEARS[1] + 1, n_obs)
+    gbif = np.arange(6_000_000_001, 6_000_000_001 + n_obs, dtype=np.int64)
+    has_vision = np.zeros(n_obs, bool)
+    has_vision[rng.choice(n_obs, n_vision, replace=False)] = True
+    proto = rng.standard_normal((n_species, LANGUAGE_DIM)).astype(np.float16)
+    lang = proto[sp] + (
+        0.1 * rng.standard_normal((n_obs, LANGUAGE_DIM))
+    ).astype(np.float16)
+    pd.DataFrame({
+        "gbif_id": gbif,
+        "taxon_id": sp + 1_000_000,
+        "taxon_name": [f"Species {s}" for s in sp],
+        "latitude": BOUNDS["south"]
+        + rng.random(n_obs) * (BOUNDS["north"] - BOUNDS["south"]),
+        "longitude": BOUNDS["west"]
+        + rng.random(n_obs) * (BOUNDS["east"] - BOUNDS["west"]),
+        "year": year, "month": rng.integers(1, 13, n_obs),
+        "day": rng.integers(1, 29, n_obs),
+        "has_vision": has_vision,
+        "language_embedding": list(lang.astype(np.float32)),
+        "split": np.where(year == 2025, "temporal_test", "train"),
+    }).to_parquet(path)
+    return gbif, sp, has_vision
+
+
+def convert_vision_chunks(store, vis_ids, chunk_rows, rng, staging):
+    """Chunked parquet -> prepare_data.py --append -> delete staging."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(staging, exist_ok=True)
+    t_gen = t_conv = 0.0
+    n = len(vis_ids)
+    for s in range(0, n, chunk_rows):
+        ids = vis_ids[s : s + chunk_rows]
+        t0 = time.time()
+        flat = rng.standard_normal((len(ids), VISION_FLAT)).astype(np.float32)
+        chunk = os.path.join(staging, "chunk.parquet")
+        arr = pa.FixedSizeListArray.from_arrays(
+            pa.array(flat.reshape(-1)), VISION_FLAT
+        )
+        pq.write_table(
+            pa.table({"gbif_id": pa.array(ids), "embedding": arr}), chunk
+        )
+        t_gen += time.time() - t0
+        t0 = time.time()
+        cmd = [
+            sys.executable, os.path.join(REPO, "scripts", "prepare_data.py"),
+            "--input", chunk, "--id-column", "gbif_id",
+            "--embedding-column", "embedding",
+            "--shape", *map(str, VISION_SHAPE),
+            "--output", store, "--dtype", "float16",
+        ]
+        if s:
+            cmd.append("--append")
+        r = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=3600,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        t_conv += time.time() - t0
+        os.remove(chunk)
+        log(f"  converted {min(s + chunk_rows, n)}/{n} vision rows "
+            f"(gen {t_gen:.0f}s conv {t_conv:.0f}s)")
+    return t_gen, t_conv
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-obs", type=int, default=33_665)
+    ap.add_argument("--n-vision", type=int, default=3_560)
+    ap.add_argument("--n-species", type=int, default=64)
+    ap.add_argument("--chunk-rows", type=int, default=96)
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--steps-cap", type=int, default=0,
+                    help="cap epoch steps (smoke); 0 = full epoch")
+    ap.add_argument("--workdir", default="/tmp/deepearth_fullscale")
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the store after the run")
+    ap.add_argument("--out", default=os.path.join(REPO, "BENCH_E2E_FULLSCALE.json"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(REPO, ".jax_cache")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from deepearth_tpu.configs import ModalityConfig, tiny_config
+    from deepearth_tpu.data import (
+        DatasetConfig, MMapEmbeddingLoader, ObservationDataset,
+        UnifiedDataCache, device_prefetch, threaded_producer,
+    )
+    from deepearth_tpu.evaluation import DeepEarthEvaluator
+    from deepearth_tpu.models import DeepEarthModel
+    from deepearth_tpu.serving.server import DashboardServer, DataService
+    from deepearth_tpu.training import LossWeights, Trainer
+
+    os.makedirs(args.workdir, exist_ok=True)
+    result = {"scale": {
+        "n_obs": args.n_obs, "n_vision_full_rows": args.n_vision,
+        "vision_floats_per_row": VISION_FLAT,
+        "store_gb_fp16": round(args.n_vision * VISION_FLAT * 2 / 1e9, 1),
+        "reference": "33,665 obs / 7,113 rows / 206 GB fp32 "
+                     "(dashboard/dataset_config.json)",
+    }}
+    rng = np.random.default_rng(11)
+
+    # -- 1) observations parquet -------------------------------------------- #
+    obs_path = os.path.join(args.workdir, "observations.parquet")
+    t0 = time.time()
+    gbif, sp, has_vision = write_observations(
+        obs_path, args.n_obs, args.n_species, args.n_vision, rng
+    )
+    result["observations_parquet"] = {
+        "rows": args.n_obs, "write_s": round(time.time() - t0, 1),
+        "size_mb": round(os.path.getsize(obs_path) / 1e6, 1),
+    }
+    log(f"observations.parquet: {result['observations_parquet']}")
+
+    # -- 2) chunked vision conversion through the real CLI ------------------- #
+    store = os.path.join(args.workdir, "vision_store")
+    vis_ids = gbif[has_vision]
+    t_gen, t_conv = convert_vision_chunks(
+        store, vis_ids, args.chunk_rows, rng,
+        os.path.join(args.workdir, "staging"),
+    )
+    store_gb = os.path.getsize(store + ".bin") / 1e9
+    result["conversion"] = {
+        "rows": int(len(vis_ids)), "store_gb": round(store_gb, 2),
+        "generate_s": round(t_gen, 1), "prepare_data_s": round(t_conv, 1),
+        "convert_mb_per_s": round(store_gb * 1e3 / max(t_conv, 1e-9), 1),
+    }
+    log(f"conversion: {result['conversion']}")
+
+    # -- 3) store stats: cold rows + batch-of-100 ---------------------------- #
+    vloader = MMapEmbeddingLoader(store)
+    fresh = rng.choice(vis_ids, min(24, len(vis_ids)), replace=False)
+    lat = []
+    for oid in fresh[:8]:
+        t0 = time.time()
+        assert vloader.get(int(oid)) is not None
+        lat.append(time.time() - t0)
+    t0 = time.time()
+    got, found = vloader.get_batch([int(i) for i in fresh[8:24]])
+    batch_ms = (time.time() - t0) * 1e3 / max(len(fresh) - 8, 1)
+    result["store"] = {
+        "single_row_ms_p50_fresh": round(float(np.median(lat)) * 1e3, 1),
+        "batch_fetch_ms_per_row_fresh": round(batch_ms, 1),
+        "reference_baseline_ms": {"single": 71, "batch100_per_item": 25},
+    }
+    log(f"store: {result['store']}")
+
+    # -- 4) one training epoch, pooled store + prefetch ---------------------- #
+    ds = ObservationDataset.from_parquet(obs_path)
+    cfg_ds = DatasetConfig(
+        bbox=(BOUNDS["south"], BOUNDS["west"], BOUNDS["north"], BOUNDS["east"]),
+        year_range=YEARS,
+    )
+    cache = UnifiedDataCache(ds, cfg_ds, vision_loader=vloader)
+
+    cfg = tiny_config()
+    cfg.modalities.clear()
+    cfg.add_modality(ModalityConfig(
+        name="species", encoding_type="learned_embedding",
+        input_type="categorical", vocab_size=args.n_species,
+    ))
+    cfg.add_modality(ModalityConfig(
+        name="vision", input_dim=1408, n_tokens=1,
+        encoder_layers=1, encoder_heads=4,
+    ))
+    cfg.add_modality(ModalityConfig(
+        name="language", input_dim=LANGUAGE_DIM, n_tokens=1,
+        encoder_layers=1, encoder_heads=4,
+    ))
+    n_steps = args.n_obs // args.batch
+    if args.steps_cap:
+        n_steps = min(n_steps, args.steps_cap)
+    cfg.optimizer.total_steps = n_steps
+    cfg.optimizer.warmup_steps = max(n_steps // 10, 1)
+    model = DeepEarthModel(cfg)
+    trainer = Trainer(model, cfg, LossWeights(contrastive=0.02))
+
+    order = rng.permutation(args.n_obs)
+
+    def epoch_batches():
+        for s in range(n_steps):
+            sel = gbif[order[s * args.batch : (s + 1) * args.batch]]
+            yield cache.get_training_batch(sel, pool_vision=True)
+
+    state = trainer.init_state(
+        cache.get_training_batch(gbif[: args.batch], pool_vision=True)
+    )
+    # device-only rate: same jit step re-running on one resident batch
+    import functools
+
+    from deepearth_tpu.training import make_train_step
+
+    step_fn = jax.jit(
+        make_train_step(model, cfg, LossWeights(contrastive=0.02)),
+        donate_argnums=(0,),
+    )
+    resident = jax.tree_util.tree_map(
+        jnp.asarray,
+        cache.get_training_batch(gbif[: args.batch], pool_vision=True),
+    )
+    st = state
+    st, m = step_fn(st, resident, jax.random.PRNGKey(0))
+    float(np.asarray(m["loss/total"]))  # compile + sync
+    t0 = time.time()
+    for i in range(8):
+        st, m = step_fn(st, resident, jax.random.PRNGKey(i))
+    float(np.asarray(m["loss/total"]))
+    device_obs_s = 8 * args.batch / (time.time() - t0)
+    del st
+
+    t0 = time.time()
+    it = device_prefetch(threaded_producer(epoch_batches, capacity=4), size=2)
+    n_done = 0
+    for batch in it:
+        state, m = step_fn(state, batch, jax.random.PRNGKey(n_done))
+        n_done += 1
+    loss = float(np.asarray(m["loss/total"]))
+    epoch_s = time.time() - t0
+    e2e_obs_s = n_done * args.batch / epoch_s
+    result["epoch"] = {
+        "steps": n_done, "batch": args.batch,
+        "wall_s": round(epoch_s, 1),
+        "e2e_obs_per_s": round(e2e_obs_s, 1),
+        "device_only_obs_per_s": round(device_obs_s, 1),
+        "data_stall_fraction": round(
+            max(0.0, 1.0 - e2e_obs_s / device_obs_s), 3
+        ),
+        "final_loss": loss,
+        "store_bytes_read_gb": round(
+            n_done * args.batch * (len(vis_ids) / args.n_obs)
+            * VISION_FLAT * 2 / 1e9, 1,
+        ),
+    }
+    log(f"epoch: {result['epoch']}")
+
+    # -- 5) probe + dashboard over HTTP -------------------------------------- #
+    test_sel = gbif[rng.choice(args.n_obs, 512, replace=False)]
+    eval_batch = cache.get_training_batch(test_sel, pool_vision=True)
+    out = model.apply({"params": state.params}, eval_batch, deterministic=True)
+    feats = np.asarray(out["fused_representation"], np.float32)
+    labels = np.asarray(eval_batch["modalities"]["species"])
+    ev = DeepEarthEvaluator(lambda b: feats)
+    probe = ev.evaluate_classification(
+        feats, labels, n_classes=args.n_species, steps=200
+    )
+    result["probe_accuracy"] = float(probe.metrics["accuracy"])
+    result["probe_chance"] = 1.0 / args.n_species
+
+    cols = ds.columns()
+    service = DataService(observations=cols, vision_loader=vloader)
+    srv = DashboardServer(service, port=0).start()
+    try:
+        import urllib.request
+
+        t0 = time.time()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/api/training/batch",
+            data=json.dumps(
+                {"observation_ids": [int(i) for i in vis_ids[:16]]}
+            ).encode(),
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            served = json.loads(resp.read())
+        result["http_training_batch"] = {
+            "rows": 16, "ms_per_row": round((time.time() - t0) * 1e3 / 16, 1),
+            "found_all": all(served["found"]),
+            "vision_shape": served["vision_shape"],
+        }
+        t0 = time.time()
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{srv.port}/api/observations?limit=40000",
+            timeout=600,
+        ) as resp:
+            n_served = len(json.loads(resp.read())["observations"])
+        result["http_observations"] = {
+            "rows": n_served, "s": round(time.time() - t0, 2)
+        }
+    finally:
+        srv.stop()
+    log(f"http: {result['http_training_batch']}")
+
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result))
+    if not args.keep:
+        shutil.rmtree(args.workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
