@@ -164,7 +164,9 @@ class DeepEarthModel(nn.Module):
             if name in masks:
                 keep = masks[name][:, None, None]
                 tok = jnp.where(keep, tok, mask_token.astype(tok.dtype))
-            tokens[name] = tok
+            from ..ops.sharding import shard_hint
+
+            tokens[name] = shard_hint(tok, "data")
 
         # ---- fusion ----------------------------------------------------------- #
         # Auto-generate token positions (reference: models/deepearth_integrated

@@ -126,10 +126,20 @@ class MLAttention(nn.Module):
         q_pe = apply_rope_deepseek(q_pe, cos, sin).astype(q_nope.dtype)
         k_pe = apply_rope_deepseek(k_pe, cos, sin).astype(k_nope.dtype)
 
-        query = jnp.concatenate([q_nope, q_pe], axis=-1)
-        key = jnp.concatenate(
-            [k_nope, jnp.broadcast_to(k_pe, (B, H, N, rope_d))], axis=-1
+        from ..ops.sharding import shard_hint
+
+        # (B, H, N, Dh): batch over 'data', heads over 'model' (Megatron-
+        # style attention TP); no-op without a mesh context
+        query = shard_hint(
+            jnp.concatenate([q_nope, q_pe], axis=-1), "data", "model"
         )
+        key = shard_hint(
+            jnp.concatenate(
+                [k_nope, jnp.broadcast_to(k_pe, (B, H, N, rope_d))], axis=-1
+            ),
+            "data", "model",
+        )
+        v = shard_hint(v, "data", "model")
 
         # -- softmax scale with yarn mscale (modeling_deepseek.py:689-695) --- #
         scale = qh ** -0.5
@@ -632,7 +642,13 @@ class DeepSeekTransformer(nn.Module):
     axis (each device holds 1/P of the stack), and a single ``nn.scan`` over
     M + P - 1 ticks rolls activations between stages (the roll compiles to a
     collective-permute riding ICI). Exact same math as the sequential stack
-    — the reference has no PP at all (SURVEY.md §2.6)."""
+    — the reference has no PP at all (SURVEY.md §2.6).
+
+    Caveat: values sown inside the stack (MoE aux loss / load) gain
+    (tick, stage) axes that INCLUDE the (P-1) bubble ticks computed on
+    zero activations — with pipelining on, keep ``LossWeights.moe_aux`` at
+    its default 0.0 (load balancing still happens through the gate's own
+    bias correction) or accept a bubble-diluted estimate."""
 
     cfg: DeepSeekBlockConfig
     compute_dtype: jnp.dtype = jnp.float32

@@ -232,10 +232,22 @@ def dense_all_expert_ffn(
     # fp32 internally, and forcing f32 outputs materializes 2.4 GB (E,N,F)
     # intermediates at flagship shape — measured 13.5 ms on the gate einsum
     # alone (PROFILE_FLAGSHIP.json fusion.3635) before this change.
-    gate = jnp.einsum("nd,edf->enf", xf, w_gate)
-    up = jnp.einsum("nd,edf->enf", xf, w_up)
+    from .sharding import shard_hint
+
+    # pin the big (E, N, F) buffers' layout on multi-axis meshes: experts
+    # over 'expert', tokens over 'data', FFN features over 'model' — GSPMD
+    # left unconstrained reshards these with multi-GB all-to-alls (round-4
+    # multichip memory fix); exact no-op single-chip
+    gate = shard_hint(
+        jnp.einsum("nd,edf->enf", xf, w_gate), "expert", "data", "model"
+    )
+    up = shard_hint(
+        jnp.einsum("nd,edf->enf", xf, w_up), "expert", "data", "model"
+    )
     h = jax.nn.silu(gate) * up
-    out = jnp.einsum("enf,efd->end", h, w_down)
+    out = shard_hint(
+        jnp.einsum("enf,efd->end", h, w_down), "expert", "data", None
+    )
     # (N, E) dense gate weights: zeros except each token's K chosen experts
     w_dense = (
         jnp.zeros((n, e), jnp.float32)

@@ -1,0 +1,49 @@
+"""Best-effort activation-sharding hints against the ambient mesh.
+
+GSPMD propagates shardings from parameters, but on multi-axis meshes its
+choices for large intermediate activations are unconstrained — round 3's
+multichip flagship compile materialized 19-22 GB of per-device temps and
+9.7 GB/step of resharding all-to-alls because the (E, S, F) MoE buffers and
+the per-modality token streams had no stated layout. These hints pin the
+intended layout (batch over 'data', experts over 'expert', feature blocks
+over 'model') wherever a big activation is born, and are exact no-ops when
+no mesh context is set (single-chip) or an axis doesn't apply.
+
+The decision is a pure function of (array shape, ambient mesh) — identical
+on every host of an SPMD job (the CLAUDE.md determinism convention).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+def shard_hint(x: jnp.ndarray, *axes: Optional[str]) -> jnp.ndarray:
+    """``with_sharding_constraint(x, P(*axes))`` against the ambient mesh
+    (``jax.set_mesh``), silently dropping axes the mesh lacks, axes of size
+    1, and dims the axis size does not divide. No-op without a mesh."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+    except Exception:
+        return x
+    if am is None or getattr(am, "empty", True):
+        return x
+    spec = []
+    for i, ax in enumerate(axes[: x.ndim]):
+        ok = (
+            ax is not None
+            and ax in am.axis_names
+            and int(am.shape[ax]) > 1
+            and x.shape[i] % int(am.shape[ax]) == 0
+        )
+        spec.append(ax if ok else None)
+    if not any(spec):
+        return x
+    spec += [None] * (x.ndim - len(spec))
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(am, P(*spec))
+    )

@@ -379,3 +379,44 @@ class TestDispatch:
         idx = jnp.asarray(np.arange(n) % e, jnp.int32)[:, None]
         loss = load_balance_aux_loss(scores, idx, e)
         assert float(loss) == pytest.approx(1.0, rel=1e-5)
+
+
+class TestShardHint:
+    """ops/sharding.py shard_hint: semantics-neutral layout pinning."""
+
+    def test_noop_without_mesh(self):
+        from deepearth_tpu.ops.sharding import shard_hint
+
+        x = jnp.ones((8, 16))
+        y = jax.jit(lambda x: shard_hint(x, "data", "model") * 1.0)(x)
+        np.testing.assert_array_equal(np.asarray(y), np.asarray(x))
+
+    def test_meshed_equals_unmeshed(self):
+        from jax.sharding import Mesh
+
+        from deepearth_tpu.ops.sharding import shard_hint
+
+        mesh = Mesh(
+            np.array(jax.devices()).reshape(2, 2, 2),
+            ("data", "expert", "model"),
+        )
+        x = jnp.arange(8 * 16, dtype=jnp.float32).reshape(8, 16)
+
+        def f(x):
+            return (shard_hint(x, "data", "model") ** 2).sum(axis=1)
+
+        ref = jax.jit(f)(x)
+        with jax.set_mesh(mesh):
+            out = jax.jit(f)(x)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_indivisible_axis_dropped(self):
+        from jax.sharding import Mesh
+
+        from deepearth_tpu.ops.sharding import shard_hint
+
+        mesh = Mesh(np.array(jax.devices()).reshape(8), ("data",))
+        x = jnp.ones((7, 5))  # 7 % 8 != 0 → axis dropped, no error
+        with jax.set_mesh(mesh):
+            y = jax.jit(lambda x: shard_hint(x, "data", "absent") + 0.0)(x)
+        assert y.shape == (7, 5)

@@ -177,9 +177,13 @@ def main():
         donate_argnums=(0,),
     )
     t0 = time.time()
-    lowered = step.lower(
-        state_shape, batch, jax.ShapeDtypeStruct((2,), np.uint32)
-    )
+    # ambient mesh context: activates the model's shard_hint constraints
+    # (ops/sharding.py) so GSPMD pins the (E,S,F) MoE buffers and token
+    # streams instead of inventing multi-GB reshards
+    with jax.set_mesh(mesh):
+        lowered = step.lower(
+            state_shape, batch, jax.ShapeDtypeStruct((2,), np.uint32)
+        )
     t_lower = time.time() - t0
     log(f"lowered in {t_lower:.1f}s; compiling (XLA:CPU, big graph)...")
     t0 = time.time()
