@@ -106,6 +106,33 @@ class TestMMapStore:
             w.add(1, np.ones(5))
         w.finalize()
 
+    def test_append_extends_store(self, tmp_path):
+        """Chunked conversion: --append rows land after the existing payload
+        and every row stays fetchable (the bounded-staging-disk path the
+        full-scale soak uses)."""
+        rng = np.random.default_rng(3)
+        path = str(tmp_path / "chunked")
+        embs = rng.standard_normal((6, 3, 4)).astype(np.float32)
+        with MMapEmbeddingWriter(path, (3, 4), dtype="float16") as w:
+            for i in range(3):
+                w.add(100 + i, embs[i])
+        with MMapEmbeddingWriter(path, (3, 4), dtype="float16", append=True) as w:
+            for i in range(3, 6):
+                w.add(100 + i, embs[i])
+        from deepearth_tpu.data import MMapEmbeddingLoader
+
+        loader = MMapEmbeddingLoader(path)
+        assert len(loader) == 6
+        for i in range(6):
+            np.testing.assert_allclose(
+                loader.get(100 + i), embs[i], atol=1e-2
+            )
+        # shape/dtype mismatches refuse to append
+        with pytest.raises(ValueError):
+            MMapEmbeddingWriter(path, (4, 3), dtype="float16", append=True)
+        with pytest.raises(ValueError):
+            MMapEmbeddingWriter(path, (3, 4), dtype="float32", append=True)
+
 
 class TestBatches:
     def test_collate(self, gen):

@@ -96,7 +96,7 @@ def convert_vision_chunks(store, vis_ids, chunk_rows, rng, staging):
     for s in range(0, n, chunk_rows):
         ids = vis_ids[s : s + chunk_rows]
         t0 = time.time()
-        flat = rng.standard_normal((len(ids), VISION_FLAT)).astype(np.float32)
+        flat = rng.standard_normal((len(ids), VISION_FLAT), dtype=np.float32)
         chunk = os.path.join(staging, "chunk.parquet")
         arr = pa.FixedSizeListArray.from_arrays(
             pa.array(flat.reshape(-1)), VISION_FLAT
@@ -139,10 +139,16 @@ def main():
     ap.add_argument("--workdir", default="/tmp/deepearth_fullscale")
     ap.add_argument("--keep", action="store_true",
                     help="keep the store after the run")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (smoke runs; env vars alone "
+                         "cannot override the axon sitecustomize)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_E2E_FULLSCALE.json"))
     args = ap.parse_args()
 
     import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     jax.config.update(
