@@ -74,46 +74,64 @@ def make_train_step(
     config: DeepEarthConfig,
     loss_weights: Optional[LossWeights] = None,
     apply_masking: bool = True,
+    microbatch_steps: int = 1,
 ) -> Callable:
-    """Build the jit-able train step: sample masks → forward → loss → update."""
+    """Build the jit-able train step: sample masks → forward → loss → update.
+
+    ``microbatch_steps=k`` splits the batch into k equal microbatches and
+    accumulates gradients over a ``lax.scan`` INSIDE the compiled step, so
+    per-step activation/remat temporaries scale with the microbatch (O(B/k))
+    while the optimizer update still sees the full-batch mean gradient. This
+    is the activation-memory lever for the multi-chip flagship gate
+    (tools/multichip_flagship.py): grad accumulation across *separate* step
+    calls (optax.MultiSteps) never shrinks the per-call activation peak.
+    With masking disabled and no dropout the accumulated gradient equals the
+    full-batch gradient exactly (mean of equal-sized microbatch means);
+    with masking enabled each microbatch draws its own masks, which only
+    changes WHICH rows are hidden, not the objective's distribution.
+    """
     weights = loss_weights or LossWeights()
     modality_names = tuple(sorted(config.modalities))
     modality_probs = {
         name: m.mask_prob for name, m in config.modalities.items()
     }
 
-    def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+    def mask_batch(batch: Dict[str, Any], rng_mask, rng_patch):
+        masks = sample_masks(
+            rng_mask,
+            batch["xyzt"].shape[0],
+            modality_names,
+            config.masking,
+            modality_probs,
+        )
+        batch = {**batch, **masks}
+        # per-patch / per-token masking (reference: train_deepearth2.py
+        # 75% MAE vision patches, 15% MLM language tokens)
+        patch_masks = dict(batch.get("modality_patch_masks", {}))
+        pkeys = jax.random.split(rng_patch, max(len(modality_names), 1))
+        for i, name in enumerate(modality_names):
+            if name in patch_masks or name not in batch.get("modalities", {}):
+                continue
+            x = batch["modalities"][name]
+            m = config.modalities[name]
+            if m.encoding_type == "token_sequence" and x.ndim == 2:
+                patch_masks[name] = mlm_token_mask(
+                    pkeys[i], x.shape[0], x.shape[1],
+                    config.masking.language_token_mask_prob,
+                )
+            elif m.encoding_type == "continuous_values" and x.ndim == 3:
+                patch_masks[name] = mae_patch_mask(
+                    pkeys[i], x.shape[0], x.shape[1],
+                    config.masking.vision_patch_mask_prob,
+                )
+        if patch_masks:
+            batch = {**batch, "modality_patch_masks": patch_masks}
+        return batch
+
+    def grads_fn(params, batch: Dict[str, Any], rng: jax.Array):
         rng_mask, rng_patch, rng_drop = jax.random.split(rng, 3)
         if apply_masking:
-            masks = sample_masks(
-                rng_mask,
-                batch["xyzt"].shape[0],
-                modality_names,
-                config.masking,
-                modality_probs,
-            )
-            batch = {**batch, **masks}
-            # per-patch / per-token masking (reference: train_deepearth2.py
-            # 75% MAE vision patches, 15% MLM language tokens)
-            patch_masks = dict(batch.get("modality_patch_masks", {}))
-            pkeys = jax.random.split(rng_patch, max(len(modality_names), 1))
-            for i, name in enumerate(modality_names):
-                if name in patch_masks or name not in batch.get("modalities", {}):
-                    continue
-                x = batch["modalities"][name]
-                m = config.modalities[name]
-                if m.encoding_type == "token_sequence" and x.ndim == 2:
-                    patch_masks[name] = mlm_token_mask(
-                        pkeys[i], x.shape[0], x.shape[1],
-                        config.masking.language_token_mask_prob,
-                    )
-                elif m.encoding_type == "continuous_values" and x.ndim == 3:
-                    patch_masks[name] = mae_patch_mask(
-                        pkeys[i], x.shape[0], x.shape[1],
-                        config.masking.vision_patch_mask_prob,
-                    )
-            if patch_masks:
-                batch = {**batch, "modality_patch_masks": patch_masks}
+            batch = mask_batch(batch, rng_mask, rng_patch)
 
         def loss_fn(params):
             out, mut = model.apply(
@@ -128,14 +146,67 @@ def make_train_step(
             )
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    def train_step(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        (loss, metrics), grads = grads_fn(state.params, batch, rng)
         state = state.apply_gradients(grads=grads)
         metrics["grad_norm"] = optax.global_norm(grads)
         return state, metrics
 
-    return train_step
+    if microbatch_steps <= 1:
+        return train_step
+
+    k = int(microbatch_steps)
+
+    def train_step_mb(state: TrainState, batch: Dict[str, Any], rng: jax.Array):
+        import jax.numpy as jnp
+
+        B = batch["xyzt"].shape[0]
+        if B % k:
+            raise ValueError(f"batch {B} not divisible by microbatch_steps {k}")
+
+        def split_mb(x):
+            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == B:
+                return x.reshape((k, B // k) + x.shape[1:])
+            return x  # non-batched leaf: replicated across microbatches
+
+        mb_batch = jax.tree_util.tree_map(split_mb, batch)
+        rngs = jax.random.split(rng, k)
+
+        def take_mb(i):
+            return jax.tree_util.tree_map(
+                lambda x: x[i] if hasattr(x, "shape") and x.ndim >= 1
+                and x.shape[0] == k else x,
+                mb_batch,
+            )
+
+        # carry structure from an abstract pass (no FLOPs, no memory)
+        out_shape = jax.eval_shape(
+            grads_fn, state.params, take_mb(0), rngs[0]
+        )
+        carry0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), out_shape
+        )
+
+        def body(carry, xs):
+            i = xs
+            out = grads_fn(state.params, take_mb(i), rngs[i])
+            carry = jax.tree_util.tree_map(jnp.add, carry, out)
+            return carry, None
+
+        carry, _ = jax.lax.scan(body, carry0, jnp.arange(k))
+        (loss_sum, metrics_sum), grad_sum = carry
+        inv = 1.0 / k
+        grads = jax.tree_util.tree_map(
+            lambda g: (g * jnp.asarray(inv, g.dtype)), grad_sum
+        )
+        metrics = jax.tree_util.tree_map(lambda m: m * inv, metrics_sum)
+        state = state.apply_gradients(grads=grads)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return state, metrics
+
+    return train_step_mb
 
 
 def make_eval_step(
@@ -191,13 +262,17 @@ class Trainer:
         loss_weights: Optional[LossWeights] = None,
         checkpoint_dir: Optional[str] = None,
         seed: int = 0,
+        microbatch_steps: int = 1,
     ):
         self.model = model
         self.config = config
         self.loss_weights = loss_weights or LossWeights()
         self.rng = jax.random.PRNGKey(seed)
         self.train_step = jax.jit(
-            make_train_step(model, config, self.loss_weights)
+            make_train_step(
+                model, config, self.loss_weights,
+                microbatch_steps=microbatch_steps,
+            )
         )
         self.eval_step = jax.jit(make_eval_step(model, config, self.loss_weights))
         self.best_val = float("inf")

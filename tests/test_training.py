@@ -168,6 +168,97 @@ class TestTrainer:
         assert changed > len(p2) // 2, "accumulated update never applied"
 
 
+class TestMicrobatchedStep:
+    def test_matches_full_batch_gradient(self):
+        """microbatch_steps=k inside one compiled step must produce the same
+        update as the full-batch step when the per-row losses are uniform
+        across microbatches: masks are supplied (all rows hidden, so every
+        microbatch averages over all its rows), contrastive off (a batch-
+        global term is by construction per-microbatch under accumulation),
+        dropout 0. Mean of equal-sized microbatch means == full-batch mean,
+        so grads — and the params after one fused-AdamW update — match."""
+        from deepearth_tpu.training import create_optimizer, make_train_step
+        from deepearth_tpu.training.trainer import TrainState
+
+        # fp32 compute: bf16 forward noise (~0.4% rel) would swamp the
+        # exact mean-of-means identity this test pins
+        cfg = tiny_config(compute_dtype=jnp.float32)
+        cfg.optimizer.warmup_steps = 0
+        cfg.optimizer.schedule = "constant"
+        model = DeepEarthModel(cfg)
+        gen = SyntheticEarthDataGenerator(SyntheticConfig())
+        batch = next(make_iter(gen, cfg, 8, 1))
+        B = batch["xyzt"].shape[0]
+        names = tuple(sorted(cfg.modalities))
+        batch = {
+            **batch,
+            "spatial_mask": jnp.zeros((B,), bool),
+            "temporal_mask": jnp.zeros((B,), bool),
+            "modality_masks": {
+                n: jnp.zeros((B,), bool)
+                for n in names if n in batch.get("modalities", {})
+            },
+        }
+
+        import optax
+
+        def init_state():
+            # plain SGD: params_after = params - lr*grads, so the params
+            # comparison below IS a gradient comparison (Adam's first-step
+            # sign-like update would amplify fp32 summation-order noise and
+            # is scale-invariant, hiding 1/k bugs)
+            params = model.init(jax.random.PRNGKey(0), batch)["params"]
+            return TrainState.create(
+                apply_fn=model.apply, params=params, tx=optax.sgd(1.0),
+            )
+
+        lw = LossWeights(contrastive=0.0)
+        rng = jax.random.PRNGKey(7)
+        step_full = jax.jit(
+            make_train_step(model, cfg, lw, apply_masking=False)
+        )
+        step_mb = jax.jit(
+            make_train_step(
+                model, cfg, lw, apply_masking=False, microbatch_steps=4
+            )
+        )
+        s_full, m_full = step_full(init_state(), batch, rng)
+        s_mb, m_mb = step_mb(init_state(), batch, rng)
+
+        np.testing.assert_allclose(
+            float(m_mb["loss/total"]), float(m_full["loss/total"]),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(m_mb["grad_norm"]), float(m_full["grad_norm"]), rtol=1e-4
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(s_full.params),
+            jax.tree_util.tree_leaves(s_mb.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+            )
+
+    def test_rejects_indivisible_batch(self):
+        from deepearth_tpu.training import make_train_step
+        from deepearth_tpu.training.trainer import TrainState
+        from deepearth_tpu.training import create_optimizer
+
+        cfg = tiny_config()
+        model = DeepEarthModel(cfg)
+        gen = SyntheticEarthDataGenerator(SyntheticConfig())
+        batch = next(make_iter(gen, cfg, 6, 1))
+        step = make_train_step(model, cfg, microbatch_steps=4)
+        params = model.init(jax.random.PRNGKey(0), batch)["params"]
+        state = TrainState.create(
+            apply_fn=model.apply, params=params,
+            tx=create_optimizer(cfg.optimizer),
+        )
+        with pytest.raises(ValueError, match="divisible"):
+            step(state, batch, jax.random.PRNGKey(0))
+
+
 class TestMetrics:
     def test_accumulator_and_format(self):
         acc = MetricAccumulator()
