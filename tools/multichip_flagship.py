@@ -125,7 +125,10 @@ def main():
     # full-batch mean gradient. This is the remaining activation-memory
     # lever after remat: round-3's B=16 single-shot step lowered to
     # 17-19 GB of per-device temps.
-    MICROBATCH_STEPS = 4
+    # 8 microbatches of 2: the FSDP run at mb=4 measured 12.89 GB of temps /
+    # 15.61 GB peak — 1.2 GB over the 14.4 GB bar; halving the microbatch
+    # shrinks the activation-scaled share.
+    MICROBATCH_STEPS = 8
     # FSDP/ZeRO-3 storage sharding over the mesh axes the compute rules
     # leave idle for each param (parallel/mesh.py _fsdp_extend). Without it
     # the state is ~3.1x replicated (3.89 GB/dev params vs the 1.26 ideal)
