@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import collections
 import threading
+import time
 import queue as queue_mod
 from typing import Any, Dict, Iterable, Iterator, Optional, Sequence
 
@@ -31,12 +32,23 @@ def device_prefetch(
     """
     buf = collections.deque()
 
-    def put(batch):
+    def put_once(batch):
         if sharding is not None:
             return jax.tree_util.tree_map(
                 lambda x: jax.device_put(x, sharding), batch
             )
         return jax.tree_util.tree_map(jax.device_put, batch)
+
+    def put(batch):
+        # One retry: remote-relay backends (the axon TPU tunnel) have been
+        # observed to reject a single transfer with a transient
+        # INVALID_ARGUMENT under concurrent producer-thread IO; the same
+        # device_put succeeds on retry (tools/bench_e2e_fullscale.py run).
+        try:
+            return put_once(batch)
+        except Exception:
+            time.sleep(0.5)
+            return put_once(batch)
 
     it = iter(iterator)
     try:

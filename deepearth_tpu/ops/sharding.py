@@ -32,11 +32,20 @@ def shard_hint(x: jnp.ndarray, *axes: Optional[str]) -> jnp.ndarray:
         return x
     if am is None or getattr(am, "empty", True):
         return x
+    # Inside shard_map the mesh axes are Manual — per-device code where a
+    # with_sharding_constraint is illegal (the GPipe pipeline and ring
+    # attention run their stage bodies there). Hints only apply to Auto
+    # axes; anything else is the caller's explicit layout already.
+    try:
+        auto = set(getattr(am, "auto_axes", am.axis_names))
+    except Exception:
+        auto = set(am.axis_names)
     spec = []
     for i, ax in enumerate(axes[: x.ndim]):
         ok = (
             ax is not None
             and ax in am.axis_names
+            and ax in auto
             and int(am.shape[ax]) > 1
             and x.shape[i] % int(am.shape[ax]) == 0
         )

@@ -183,6 +183,12 @@ class DistributedTrainer:
         train_step = make_train_step(
             self.model, self.config, self._loss_weights,
             microbatch_steps=self.microbatch_steps,
+            # keep the grad accumulator at the FSDP storage layout (see
+            # make_train_step) — only meaningful when both knobs are on
+            grad_accum_shardings=(
+                self._state_shardings.params
+                if self.fsdp_axes and self.microbatch_steps > 1 else None
+            ),
         )
         batch_sh = jax.tree_util.tree_map(
             lambda _: batch_sharding(self.mesh), sample_batch

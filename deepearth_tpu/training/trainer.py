@@ -75,6 +75,7 @@ def make_train_step(
     loss_weights: Optional[LossWeights] = None,
     apply_masking: bool = True,
     microbatch_steps: int = 1,
+    grad_accum_shardings: Any = None,
 ) -> Callable:
     """Build the jit-able train step: sample masks → forward → loss → update.
 
@@ -189,11 +190,29 @@ def make_train_step(
             lambda s: jnp.zeros(s.shape, s.dtype), out_shape
         )
 
+        def constrain_grads(carry):
+            # Pin the gradient accumulator to the caller's (FSDP storage)
+            # layout. Without this, GSPMD keeps the scan carry at the
+            # COMPUTE replication — two param-sized trees at ~3x the storage
+            # footprint on the flagship mesh (measured: 12.7 GB of the
+            # per-device temps, tools/multichip_flagship.py). Constraining
+            # here makes each microbatch reduce-scatter its gradients into
+            # the sharded carry instead.
+            if grad_accum_shardings is None:
+                return carry
+            lm, grads = carry
+            grads = jax.tree_util.tree_map(
+                jax.lax.with_sharding_constraint, grads, grad_accum_shardings
+            )
+            return (lm, grads)
+
+        carry0 = constrain_grads(carry0)
+
         def body(carry, xs):
             i = xs
             out = grads_fn(state.params, take_mb(i), rngs[i])
             carry = jax.tree_util.tree_map(jnp.add, carry, out)
-            return carry, None
+            return constrain_grads(carry), None
 
         carry, _ = jax.lax.scan(body, carry0, jnp.arange(k))
         (loss_sum, metrics_sum), grad_sum = carry

@@ -143,6 +143,9 @@ def main():
                     help="force the CPU backend (smoke runs; env vars alone "
                          "cannot override the axon sitecustomize)")
     ap.add_argument("--out", default=os.path.join(REPO, "BENCH_E2E_FULLSCALE.json"))
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse workdir artifacts + the .partial result from "
+                         "a crashed run (stages already recorded are skipped)")
     args = ap.parse_args()
 
     import jax
@@ -167,6 +170,7 @@ def main():
     from deepearth_tpu.training import LossWeights, Trainer
 
     os.makedirs(args.workdir, exist_ok=True)
+    partial_path = args.out + ".partial"
     result = {"scale": {
         "n_obs": args.n_obs, "n_vision_full_rows": args.n_vision,
         "vision_floats_per_row": VISION_FLAT,
@@ -174,34 +178,63 @@ def main():
         "reference": "33,665 obs / 7,113 rows / 206 GB fp32 "
                      "(dashboard/dataset_config.json)",
     }}
+    if args.resume and os.path.exists(partial_path):
+        with open(partial_path) as f:
+            result.update(json.load(f))
+        log(f"resuming with stages: {sorted(result)}")
+
+    def checkpoint():
+        with open(partial_path, "w") as f:
+            json.dump(result, f, indent=2)
+
     rng = np.random.default_rng(11)
 
     # -- 1) observations parquet -------------------------------------------- #
     obs_path = os.path.join(args.workdir, "observations.parquet")
-    t0 = time.time()
-    gbif, sp, has_vision = write_observations(
-        obs_path, args.n_obs, args.n_species, args.n_vision, rng
-    )
-    result["observations_parquet"] = {
-        "rows": args.n_obs, "write_s": round(time.time() - t0, 1),
-        "size_mb": round(os.path.getsize(obs_path) / 1e6, 1),
-    }
-    log(f"observations.parquet: {result['observations_parquet']}")
-
-    # -- 2) chunked vision conversion through the real CLI ------------------- #
     store = os.path.join(args.workdir, "vision_store")
-    vis_ids = gbif[has_vision]
-    t_gen, t_conv = convert_vision_chunks(
-        store, vis_ids, args.chunk_rows, rng,
-        os.path.join(args.workdir, "staging"),
-    )
-    store_gb = os.path.getsize(store + ".bin") / 1e9
-    result["conversion"] = {
-        "rows": int(len(vis_ids)), "store_gb": round(store_gb, 2),
-        "generate_s": round(t_gen, 1), "prepare_data_s": round(t_conv, 1),
-        "convert_mb_per_s": round(store_gb * 1e3 / max(t_conv, 1e-9), 1),
-    }
-    log(f"conversion: {result['conversion']}")
+    if (
+        args.resume and "observations_parquet" in result
+        and os.path.exists(obs_path) and os.path.exists(store + ".bin")
+    ):
+        # same seed -> same draw; regenerate the id/species/vision arrays
+        # without rewriting the (identical) files
+        sp = rng.integers(0, args.n_species, args.n_obs)
+        rng.integers(YEARS[0], YEARS[1] + 1, args.n_obs)
+        gbif = np.arange(
+            6_000_000_001, 6_000_000_001 + args.n_obs, dtype=np.int64
+        )
+        has_vision = np.zeros(args.n_obs, bool)
+        has_vision[
+            rng.choice(args.n_obs, args.n_vision, replace=False)
+        ] = True
+        vis_ids = gbif[has_vision]
+        log("resume: reusing observations.parquet + vision_store")
+    else:
+        t0 = time.time()
+        gbif, sp, has_vision = write_observations(
+            obs_path, args.n_obs, args.n_species, args.n_vision, rng
+        )
+        result["observations_parquet"] = {
+            "rows": args.n_obs, "write_s": round(time.time() - t0, 1),
+            "size_mb": round(os.path.getsize(obs_path) / 1e6, 1),
+        }
+        log(f"observations.parquet: {result['observations_parquet']}")
+        checkpoint()
+
+        # -- 2) chunked vision conversion through the real CLI --------------- #
+        vis_ids = gbif[has_vision]
+        t_gen, t_conv = convert_vision_chunks(
+            store, vis_ids, args.chunk_rows, rng,
+            os.path.join(args.workdir, "staging"),
+        )
+        store_gb = os.path.getsize(store + ".bin") / 1e9
+        result["conversion"] = {
+            "rows": int(len(vis_ids)), "store_gb": round(store_gb, 2),
+            "generate_s": round(t_gen, 1), "prepare_data_s": round(t_conv, 1),
+            "convert_mb_per_s": round(store_gb * 1e3 / max(t_conv, 1e-9), 1),
+        }
+        log(f"conversion: {result['conversion']}")
+        checkpoint()
 
     # -- 3) store stats: cold rows + batch-of-100 ---------------------------- #
     vloader = MMapEmbeddingLoader(store)

@@ -125,10 +125,12 @@ def main():
     # full-batch mean gradient. This is the remaining activation-memory
     # lever after remat: round-3's B=16 single-shot step lowered to
     # 17-19 GB of per-device temps.
-    # 8 microbatches of 2: the FSDP run at mb=4 measured 12.89 GB of temps /
-    # 15.61 GB peak — 1.2 GB over the 14.4 GB bar; halving the microbatch
-    # shrinks the activation-scaled share.
-    MICROBATCH_STEPS = 8
+    # mb=8 vs mb=4 moved temps only 12.89 -> 12.67 GB: the temps are NOT
+    # activation-scaled — they are the gradient scan carry held at COMPUTE
+    # replication (2 x 3.89 GB) plus the hoisted gathered weights. The fix
+    # is grad_accum_shardings below (carry pinned to the 1.33 GB FSDP
+    # storage layout); mb=4 keeps the scan short.
+    MICROBATCH_STEPS = 4
     # FSDP/ZeRO-3 storage sharding over the mesh axes the compute rules
     # leave idle for each param (parallel/mesh.py _fsdp_extend). Without it
     # the state is ~3.1x replicated (3.89 GB/dev params vs the 1.26 ideal)
@@ -195,6 +197,7 @@ def main():
     train_step = make_train_step(
         model, cfg, LossWeights(contrastive=0.0),
         microbatch_steps=MICROBATCH_STEPS,
+        grad_accum_shardings=state_sh.params,
     )
     step = jax.jit(
         train_step,
