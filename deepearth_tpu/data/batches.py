@@ -46,7 +46,20 @@ def device_prefetch(
         # device_put succeeds on retry (tools/bench_e2e_fullscale.py run).
         try:
             return put_once(batch)
-        except Exception:
+        except Exception as e:
+            for path, leaf in jax.tree_util.tree_leaves_with_path(batch):
+                try:
+                    jax.device_put(leaf)
+                except Exception as le:
+                    print(
+                        f"[device_prefetch] leaf {jax.tree_util.keystr(path)} "
+                        f"{getattr(leaf, 'dtype', type(leaf))}"
+                        f"{getattr(leaf, 'shape', '')}: "
+                        f"{type(le).__name__}: {str(le)[:200]}",
+                        flush=True,
+                    )
+            print(f"[device_prefetch] retrying after {type(e).__name__}: "
+                  f"{str(e)[:200]}", flush=True)
             time.sleep(0.5)
             return put_once(batch)
 

@@ -307,15 +307,18 @@ def main():
         jnp.asarray,
         cache.get_training_batch(gbif[: args.batch], pool_vision=True),
     )
-    st = state
-    st, m = step_fn(st, resident, jax.random.PRNGKey(0))
+    # donation threads ONE state through both loops: step_fn donates its
+    # input buffers, so the epoch below must continue from the threaded
+    # state — reusing the original `state` after this loop hands the relay
+    # deleted buffers (surfaces as a deferred INVALID_ARGUMENT at the next
+    # sync — the CLAUDE.md donation lesson, hit live in this tool)
+    state, m = step_fn(state, resident, jax.random.PRNGKey(0))
     float(np.asarray(m["loss/total"]))  # compile + sync
     t0 = time.time()
     for i in range(8):
-        st, m = step_fn(st, resident, jax.random.PRNGKey(i))
+        state, m = step_fn(state, resident, jax.random.PRNGKey(i))
     float(np.asarray(m["loss/total"]))
     device_obs_s = 8 * args.batch / (time.time() - t0)
-    del st
 
     t0 = time.time()
     it = device_prefetch(threaded_producer(epoch_batches, capacity=4), size=2)

@@ -125,12 +125,16 @@ def main():
     # full-batch mean gradient. This is the remaining activation-memory
     # lever after remat: round-3's B=16 single-shot step lowered to
     # 17-19 GB of per-device temps.
-    # mb=8 vs mb=4 moved temps only 12.89 -> 12.67 GB: the temps are NOT
-    # activation-scaled — they are the gradient scan carry held at COMPUTE
-    # replication (2 x 3.89 GB) plus the hoisted gathered weights. The fix
-    # is grad_accum_shardings below (carry pinned to the 1.33 GB FSDP
-    # storage layout); mb=4 keeps the scan short.
-    MICROBATCH_STEPS = 4
+    # Memory ladder (per-device peak from compiled memory_analysis):
+    #   24.95 GB  dp/ep/tp rules only (round-3 config, B=16)
+    #   15.61 GB  + FSDP storage sharding (state/shard 7.83 -> 2.70 GB)
+    #   15.38 GB  + mb=8 (temps are NOT activation-dominated at B=16)
+    # tools/multichip_memdump.py attribution of the residual temps: the
+    # gathered FSDP weight set is hoisted live across the scan (~ the full
+    # 3.9 GB compute layout) + batch-scaled fused/matmul temps. The weight
+    # gather is layer-structure-bound (discrete layers -> loop-invariant
+    # all-gathers); the batch-scaled half is the honest remaining knob.
+    MICROBATCH_STEPS = 2
     # FSDP/ZeRO-3 storage sharding over the mesh axes the compute rules
     # leave idle for each param (parallel/mesh.py _fsdp_extend). Without it
     # the state is ~3.1x replicated (3.89 GB/dev params vs the 1.26 ideal)
@@ -138,7 +142,7 @@ def main():
     # via tools/param_attribution.py; that, not activations, was the bulk
     # of round-3's 17-19 GB of per-device temps.
     FSDP_AXES = ("data", "expert")
-    B, SV, SL = 16, 576, 16
+    B, SV, SL = 8, 576, 16
     batch = jax.eval_shape(
         lambda k: make_batch(k, B, SV, SL), jax.random.PRNGKey(0)
     )

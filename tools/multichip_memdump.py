@@ -83,15 +83,19 @@ def main():
         )
 
     state_shape = jax.eval_shape(make_state, jax.random.PRNGKey(1), batch)
-    state_sh = make_param_shardings(state_shape, mesh)
+    state_sh = make_param_shardings(
+        state_shape, mesh, fsdp_axes=("data", "expert")
+    )
     batch_sh = jax.tree_util.tree_map(lambda _: batch_sharding(mesh), batch)
 
     step = jax.jit(
         make_train_step(
             model, cfg, LossWeights(contrastive=0.0),
             microbatch_steps=args.mb,
+            grad_accum_shardings=state_sh.params,
         ),
         in_shardings=(state_sh, batch_sh, replicated(mesh)),
+        out_shardings=(state_sh, None),
         donate_argnums=(0,),
     )
     t0 = time.time()
@@ -114,11 +118,18 @@ def main():
         raise SystemExit("no buffer-assignment dump found")
     ba = open(ba_files[-1]).read()
 
-    # entries look like:
-    # allocation 123: size 268435456, output shape is ..., maybe-live-out:
-    #   positions and defining instructions follow on indented lines
+    # Format (XLA:CPU buffer-assignment.txt):
+    #   allocation N: size S, <flags>:
+    #    value: <id instr.name @0> (size=S,offset=O): bf16[...]{...}
+    # The big "preallocated-temp" allocation packs thousands of logical
+    # buffers by (offset, size) SLOT; values sharing a slot reuse it over
+    # time. The static footprint attribution is per-slot: classify each
+    # slot by its assigned instruction names and sum slot sizes per class.
     allocs = []
     cur = None
+    val_re = re.compile(
+        r"value: <\d+ (\S+) @\d+> \(size=(\d+),offset=(\d+)\)"
+    )
     for line in ba.splitlines():
         m = re.match(r"allocation (\d+): size (\d+),(.*)", line)
         if m:
@@ -126,14 +137,16 @@ def main():
                 "id": int(m.group(1)),
                 "size": int(m.group(2)),
                 "flags": m.group(3).strip(),
-                "vals": [],
+                "vals": [],  # (name, size, offset)
             }
             allocs.append(cur)
             continue
-        if cur is not None and line.startswith("  "):
-            vm = re.search(r"value: <\d+ ([^@ ]+)@", line)
+        if cur is not None:
+            vm = val_re.search(line)
             if vm:
-                cur["vals"].append(vm.group(1))
+                cur["vals"].append(
+                    (vm.group(1), int(vm.group(2)), int(vm.group(3)))
+                )
 
     temps = [
         a for a in allocs
@@ -144,32 +157,51 @@ def main():
     log(f"parsed {len(allocs)} allocations, temp-ish total "
         f"{total_temp/1e9:.2f} GB across {len(temps)}")
 
-    def classify(a):
-        names = " ".join(a["vals"][:8])
-        if "while" in names and ("add" in names or "carry" in names):
-            return "scan-carry (grad accumulation)"
-        if "all-to-all" in names:
-            return "all-to-all buffers"
-        if "all-gather" in names:
-            return "all-gather buffers"
-        if "collective-permute" in names:
-            return "collective-permute buffers"
-        if "all-reduce" in names:
-            return "all-reduce buffers"
-        if "rematted" in names or "remat" in names or "checkpoint" in names:
-            return "remat recompute"
-        if "transpose" in names and "dot" in names:
-            return "matmul operands/results"
-        if "fusion" in names:
+    def classify(names):
+        joined = " ".join(names[:12])
+        if "all-gather" in joined:
+            return "all-gather (gathered FSDP weights)"
+        if "all-to-all" in joined:
+            return "all-to-all (EP dispatch)"
+        if "collective-permute" in joined:
+            return "collective-permute"
+        if "all-reduce" in joined or "reduce-scatter" in joined:
+            return "all-reduce / reduce-scatter"
+        if "while" in joined:
+            return "scan carry/body (grad accumulation)"
+        if "convolution" in joined or "dot" in joined:
+            return "matmul results"
+        if "broadcast" in joined:
+            return "broadcasts"
+        if "fusion" in joined:
             return "fused elementwise/temp"
+        if "copy" in joined:
+            return "copies"
         return "other"
 
     by_cls = {}
+    top_slots = []
     for a in temps:
-        c = classify(a)
-        e = by_cls.setdefault(c, {"bytes": 0, "count": 0})
-        e["bytes"] += a["size"]
-        e["count"] += 1
+        if not a["vals"]:
+            e = by_cls.setdefault("unattributed", {"bytes": 0, "count": 0})
+            e["bytes"] += a["size"]
+            e["count"] += 1
+            continue
+        # group values into slots by offset
+        slots = {}
+        for name, size, offset in a["vals"]:
+            s = slots.setdefault(offset, {"size": 0, "names": []})
+            s["size"] = max(s["size"], size)
+            s["names"].append(name)
+        for offset, s in slots.items():
+            c = classify(s["names"])
+            e = by_cls.setdefault(c, {"bytes": 0, "count": 0})
+            e["bytes"] += s["size"]
+            e["count"] += 1
+            top_slots.append(
+                (s["size"], c, s["names"][0], len(s["names"]))
+            )
+    top_slots.sort(reverse=True)
 
     out = {
         "config": {
@@ -184,13 +216,14 @@ def main():
             k: round(v["bytes"] / 1e9, 3)
             for k, v in sorted(by_cls.items(), key=lambda kv: -kv[1]["bytes"])
         },
-        "top_allocations": [
+        "top_slots": [
             {
-                "size_mb": round(a["size"] / 1e6, 1),
-                "flags": a["flags"][:60],
-                "values": a["vals"][:4],
+                "size_mb": round(size / 1e6, 1),
+                "class": cls,
+                "first_value": name,
+                "n_values_sharing_slot": n,
             }
-            for a in temps[: args.top]
+            for size, cls, name, n in top_slots[: args.top]
         ],
     }
     print(json.dumps(out, indent=2))
