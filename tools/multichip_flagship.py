@@ -134,7 +134,12 @@ def main():
     # 3.9 GB compute layout) + batch-scaled fused/matmul temps. The weight
     # gather is layer-structure-bound (discrete layers -> loop-invariant
     # all-gathers); the batch-scaled half is the honest remaining knob.
-    MICROBATCH_STEPS = 2
+    # mb=1: the grad-accum lax.scan makes every FSDP weight all-gather
+    # loop-INVARIANT, so XLA hoists the whole 3.5 GB gathered set live
+    # across the scan (memdump attribution). With no scan + block remat,
+    # each layer's gather frees after its block and the backward re-gathers
+    # inside the remat region.
+    MICROBATCH_STEPS = 1
     # FSDP/ZeRO-3 storage sharding over the mesh axes the compute rules
     # leave idle for each param (parallel/mesh.py _fsdp_extend). Without it
     # the state is ~3.1x replicated (3.89 GB/dev params vs the 1.26 ideal)
