@@ -71,6 +71,52 @@ def dequantize(w_q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
     return w_q[..., :f].astype(jnp.float32) * scale
 
 
+def quantize_int4(w: jnp.ndarray, pad_cols_to: int = 128):
+    """Symmetric per-out-channel int4 quantization of (…, D, F) weights.
+
+    Packs two 4-bit values per byte along the REDUCTION dim with the
+    split-half layout the Pallas kernel wants: byte ``i`` holds row ``i``
+    in its low nibble and row ``i + D/2`` in its high nibble, so a packed
+    tile expands to one contiguous block from each half of ``x`` — no
+    in-kernel interleave. Returns ``(w_p, scale)`` with ``w_p`` int8 of
+    shape (…, D/2, Fp) and ``scale`` float32 (…, 1, F) = absmax/7.
+    Requires even D.
+    """
+    d = w.shape[-2]
+    if d % 2:
+        raise ValueError(f"int4 packing needs even reduction dim, got {d}")
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 7.0
+    q = jnp.clip(jnp.round(wf / scale), -7, 7).astype(jnp.int32)
+    lo, hi = q[..., : d // 2, :], q[..., d // 2 :, :]
+    packed = jax.lax.bitcast_convert_type(
+        ((lo & 0xF) | ((hi & 0xF) << 4)).astype(jnp.uint8), jnp.int8
+    )
+    f = packed.shape[-1]
+    fp = _ceil_to(f, pad_cols_to)
+    if fp != f:
+        pad = [(0, 0)] * (packed.ndim - 1) + [(0, fp - f)]
+        packed = jnp.pad(packed, pad)
+    return packed, scale
+
+
+def _unpack_int4(w_p: jnp.ndarray):
+    """(…, D/2, Fp) packed bytes → sign-extended (lo, hi) int32 nibbles."""
+    wi = w_p.astype(jnp.int32)  # sign-extended byte
+    lo = (wi << 28) >> 28       # low nibble, sign-extended
+    hi = wi >> 4                # arithmetic shift: high nibble, sign-extended
+    return lo, hi
+
+
+def dequantize_int4(w_p: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """Reference dequantization (fp32): inverse of :func:`quantize_int4`."""
+    lo, hi = _unpack_int4(w_p)
+    f = scale.shape[-1]
+    q = jnp.concatenate([lo, hi], axis=-2)[..., :f]
+    return q.astype(jnp.float32) * scale
+
+
 # --------------------------------------------------------------------------- #
 # Pallas fused-dequant matmul
 # --------------------------------------------------------------------------- #
@@ -150,6 +196,109 @@ def int8_bmm(
     return out[:, :c, :f]
 
 
+def _bmm4_kernel(xlo_ref, xhi_ref, w_ref, s_ref, o_ref, acc_ref):
+    """int4 twin of :func:`_bmm_kernel`: each packed byte tile carries one
+    reduction block from EACH half of x (split-half layout), unpacked to
+    two bf16 tiles in-register — HBM only ever sees half the int8 bytes."""
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    wi = w_ref[0].astype(jnp.int32)
+    lo = ((wi << 28) >> 28).astype(jnp.bfloat16)
+    hi = (wi >> 4).astype(jnp.bfloat16)
+    acc_ref[...] += jax.lax.dot(
+        xlo_ref[0], lo, preferred_element_type=jnp.float32
+    ) + jax.lax.dot(
+        xhi_ref[0], hi, preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == pl.num_programs(2) - 1)
+    def _finish():
+        o_ref[0] = (acc_ref[...] * s_ref[0]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("out_dtype", "block_f", "block_d", "interpret")
+)
+def int4_bmm(
+    x: jnp.ndarray,
+    w_p: jnp.ndarray,
+    scale: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    block_f: int = 512,
+    block_d: int = 512,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Batched ``x @ dequant(w_p)`` over split-half int4 packed weights:
+    (E, C, D) × (E, D/2, Fp) → (E, C, F).
+
+    Streams HALF the weight bytes of :func:`int8_bmm`; the unpack (two
+    shifts + widen per nibble pair) rides the VPU. Falls back to the XLA
+    dequant path when the packed reduction dim doesn't tile.
+    """
+    e, c, d = x.shape
+    dh = d // 2
+    fp = w_p.shape[-1]
+    f = scale.shape[-1]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    bd = _pick_block(dh, (block_d, 256, 128))
+    bf = _pick_block(fp, (block_f, 256, 128))
+    if bd is None or bf is None or d % 2 or w_p.shape[-2] != dh:
+        return jnp.einsum(
+            "ecd,edf->ecf", x, dequantize_int4(w_p, scale).astype(x.dtype)
+        ).astype(out_dtype)
+
+    cp = max(_ceil_to(c, 16), 16)
+    if cp != c:
+        x = jnp.pad(x, ((0, 0), (0, cp - c), (0, 0)))
+    sp = jnp.pad(scale.astype(jnp.float32), ((0, 0), (0, 0), (0, fp - f)))
+
+    n_dblk = dh // bd
+    grid = (e, fp // bf, n_dblk)
+    xb = x.astype(jnp.bfloat16)
+    out = pl.pallas_call(
+        _bmm4_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, cp, bd), lambda b, i, j: (b, 0, j)),
+            pl.BlockSpec(
+                (1, cp, bd), lambda b, i, j, n=n_dblk: (b, 0, j + n)
+            ),
+            pl.BlockSpec((1, bd, bf), lambda b, i, j: (b, j, i)),
+            pl.BlockSpec((1, 1, bf), lambda b, i, j: (b, 0, i)),
+        ],
+        out_specs=pl.BlockSpec((1, cp, bf), lambda b, i, j: (b, 0, i)),
+        out_shape=jax.ShapeDtypeStruct((e, cp, fp), out_dtype),
+        scratch_shapes=[pltpu.VMEM((cp, bf), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xb, xb, w_p, sp)
+    return out[:, :c, :f]
+
+
+def int4_matmul(
+    x: jnp.ndarray,
+    w_p: jnp.ndarray,
+    scale: jnp.ndarray,
+    out_dtype=jnp.bfloat16,
+    **kw,
+) -> jnp.ndarray:
+    """``x @ dequant(w_p)`` for 2D int4-packed weights; any leading dims."""
+    lead = x.shape[:-1]
+    d = x.shape[-1]
+    y = int4_bmm(
+        x.reshape(1, -1, d), w_p[None], scale[None], out_dtype=out_dtype, **kw
+    )
+    return y.reshape(*lead, y.shape[-1])
+
+
 def int8_matmul(
     x: jnp.ndarray,
     w_q: jnp.ndarray,
@@ -179,12 +328,24 @@ _SKIP_NAMES = frozenset({"kv_b_proj"})
 
 
 def quantize_decoder_params(
-    params: Dict[str, Any], min_dim: int = 256
+    params: Dict[str, Any], min_dim: int = 256, bits: int = 8
 ) -> Dict[str, Any]:
     """Walk a DeepSeekForCausalLM param tree, replacing large matmul weights
-    with int8 + scale pairs that :func:`linear_p` / :func:`expert_ffn_q`
-    consume. Embeddings, norms, routers, biases and small kernels stay bf16.
+    with int8 (or split-half-packed int4, ``bits=4``) + scale pairs that
+    :func:`linear_p` / :func:`expert_ffn_q` consume. Embeddings, norms,
+    routers, biases and small kernels stay bf16. int4 additionally needs the
+    reduction dim divisible by 256 (128-lane tiles per packed half);
+    non-conforming kernels fall back to int8.
     """
+    if bits not in (4, 8):
+        raise ValueError(f"bits must be 4 or 8, got {bits}")
+
+    def quant_one(w):
+        if bits == 4 and w.shape[-2] % 256 == 0:
+            q, s = quantize_int4(w)
+            return q, s, "_q4"
+        q, s = quantize_int8(w)
+        return q, s, "_q"
 
     def conv(node, name=""):
         if not isinstance(node, dict):
@@ -196,15 +357,15 @@ def quantize_decoder_params(
                 w = node[k]
                 if w.ndim == 3 and min(w.shape[-2:]) >= min_dim \
                         and w.shape[-2] % 128 == 0:
-                    q, s = quantize_int8(w)
-                    out[k + "_q"], out[k + "_scale"] = q, s
+                    q, s, tag = quant_one(w)
+                    out[k + tag], out[k + "_scale"] = q, s
                     done.add(k)
         if "kernel" in node and getattr(node["kernel"], "ndim", 0) == 2 \
                 and name not in _SKIP_NAMES:
             w = node["kernel"]
             if min(w.shape) >= min_dim and w.shape[0] % 128 == 0:
-                q, s = quantize_int8(w)
-                out["kernel_q"], out["scale"] = q, s  # s: (1, F)
+                q, s, tag = quant_one(w)
+                out["kernel" + tag], out["scale"] = q, s  # s: (1, F)
                 done.add("kernel")
         for k, v in node.items():
             if k in done:
@@ -216,8 +377,10 @@ def quantize_decoder_params(
 
 
 def linear_p(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
-    """Dense layer from a param dict that may hold bf16 or int8 weights."""
-    if "kernel_q" in p:
+    """Dense layer from a param dict holding bf16, int8 or int4 weights."""
+    if "kernel_q4" in p:
+        y = int4_matmul(x, p["kernel_q4"], p["scale"], out_dtype=x.dtype)
+    elif "kernel_q" in p:
         y = int8_matmul(x, p["kernel_q"], p["scale"], out_dtype=x.dtype)
     else:
         y = x @ p["kernel"]
@@ -226,16 +389,20 @@ def linear_p(p: Dict[str, Any], x: jnp.ndarray) -> jnp.ndarray:
     return y
 
 
+def _bmm_p(p: Dict[str, Any], key: str, x: jnp.ndarray) -> jnp.ndarray:
+    if key + "_q4" in p:
+        return int4_bmm(x, p[key + "_q4"], p[key + "_scale"],
+                        out_dtype=x.dtype)
+    return int8_bmm(x, p[key + "_q"], p[key + "_scale"], out_dtype=x.dtype)
+
+
 def expert_ffn_q(p: Dict[str, Any], expert_in: jnp.ndarray) -> jnp.ndarray:
-    """Batched SwiGLU expert MLP over int8 weights (decode path twin of
-    ops.moe.expert_ffn)."""
-    gate = int8_bmm(expert_in, p["w_gate_q"], p["w_gate_scale"],
-                    out_dtype=expert_in.dtype)
-    up = int8_bmm(expert_in, p["w_up_q"], p["w_up_scale"],
-                  out_dtype=expert_in.dtype)
+    """Batched SwiGLU expert MLP over int8/int4 weights (decode path twin
+    of ops.moe.expert_ffn)."""
+    gate = _bmm_p(p, "w_gate", expert_in)
+    up = _bmm_p(p, "w_up", expert_in)
     h = jax.nn.silu(gate) * up
-    return int8_bmm(h, p["w_down_q"], p["w_down_scale"],
-                    out_dtype=expert_in.dtype)
+    return _bmm_p(p, "w_down", h)
 
 
 def quantized_bytes(params: Dict[str, Any]) -> Dict[str, int]:

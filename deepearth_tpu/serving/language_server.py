@@ -100,7 +100,8 @@ class DeepSeekFlaxEmbedder:
     """
 
     def __init__(self, params, cfg, vocab_size: int, tokenizer=None,
-                 quantize_int8: bool = False, quant_min_dim: int = 256):
+                 quantize_int8: bool = False, quant_min_dim: int = 256,
+                 quant_bits: int = 8):
         import jax
         import jax.numpy as jnp
 
@@ -111,10 +112,11 @@ class DeepSeekFlaxEmbedder:
         self.dim = cfg.hidden_dim
         self.params = jax.tree_util.tree_map(np.asarray, params)
         self.tokenizer = tokenizer or HashEmbedder(dim=cfg.hidden_dim)
-        # int8 weight-only decode (serving parity with the reference's
+        # int8/int4 weight-only decode (serving parity with the reference's
         # quantized llama.cpp service): generation runs over a second,
-        # int8 tree through the Pallas fused-dequant kernel — measured
-        # 1.29-1.41× decode (BENCH_DECODE.json) at ~0.5× weight bytes.
+        # quantized tree through the Pallas fused-dequant kernels — int8
+        # measured 1.29-1.41× decode (BENCH_DECODE.json) at ~0.5× weight
+        # bytes; quant_bits=4 packs two nibbles per byte (~0.25×).
         # The embed path keeps the bf16 tree (flax apply needs it), so
         # enabling this costs ~1.5× total weight memory.
         self.gen_params = self.params
@@ -123,7 +125,7 @@ class DeepSeekFlaxEmbedder:
 
             self.gen_params = jax.jit(
                 functools.partial(quantize_decoder_params,
-                                  min_dim=quant_min_dim)
+                                  min_dim=quant_min_dim, bits=quant_bits)
             )(self.params)
 
         def hidden(p, ids, mask):

@@ -18,11 +18,15 @@ import pytest
 from deepearth_tpu.configs import DeepSeekBlockConfig, MLAConfig, MoEConfig
 from deepearth_tpu.ops.quant import (
     dequantize,
+    dequantize_int4,
     expert_ffn_q,
+    int4_bmm,
+    int4_matmul,
     int8_bmm,
     int8_matmul,
     linear_p,
     quantize_decoder_params,
+    quantize_int4,
     quantize_int8,
     quantized_bytes,
 )
@@ -229,3 +233,123 @@ class TestQuantizedDecode:
         np.testing.assert_allclose(
             np.asarray(out), np.asarray(x @ w + b), rtol=1e-5
         )
+
+
+class TestQuantizeInt4:
+    def test_pack_roundtrip_exact_on_grid(self):
+        # weights already on the int4 grid → dequant recovers them exactly
+        rng = np.random.default_rng(0)
+        q4 = rng.integers(-7, 8, (256, 96)).astype(np.float32)
+        scale = 1.0  # absmax 7 → scale 1 when max |q|=7
+        q4[0, :] = 7  # pin absmax per channel
+        w = jnp.asarray(q4 * scale)
+        p, s = quantize_int4(w)
+        assert p.dtype == jnp.int8
+        assert p.shape == (128, 128)  # D packed 256→128, F padded 96→128
+        assert s.shape == (1, 96)
+        np.testing.assert_allclose(np.asarray(dequantize_int4(p, s)), q4,
+                                   atol=1e-5)
+
+    def test_roundtrip_error_bounded_by_half_step(self):
+        w = jax.random.normal(jax.random.PRNGKey(20), (256, 96)) * 3.0
+        p, s = quantize_int4(w)
+        err = np.abs(np.asarray(dequantize_int4(p, s)) - np.asarray(w))
+        assert (err <= np.asarray(s)[0] * 0.5 + 1e-6).all()
+
+    def test_odd_reduction_dim_rejected(self):
+        with pytest.raises(ValueError):
+            quantize_int4(jnp.zeros((33, 8)))
+
+
+class TestInt4Bmm:
+    def _oracle(self, x, p, s):
+        return jnp.einsum(
+            "ecd,edf->ecf",
+            x.astype(jnp.float32),
+            dequantize_int4(p, s),
+            preferred_element_type=jnp.float32,
+        )
+
+    @pytest.mark.parametrize("shape", [(2, 5, 512, 384), (1, 32, 256, 128)])
+    def test_matches_dequant_oracle(self, shape):
+        e, c, d, f = shape
+        kx, kw = jax.random.split(jax.random.PRNGKey(21))
+        x = jax.random.normal(kx, (e, c, d), jnp.bfloat16)
+        p, s = quantize_int4(jax.random.normal(kw, (e, d, f)))
+        out = np.asarray(int4_bmm(x, p, s)).astype(np.float32)
+        ref = np.asarray(self._oracle(x, p, s))
+        assert out.shape == (e, c, f)
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 0.02
+
+    def test_fallback_non_tiling_packed_dim(self):
+        # D=100 → packed 50, can't tile on 128 lanes → XLA dequant fallback
+        x = jax.random.normal(jax.random.PRNGKey(22), (2, 4, 100), jnp.bfloat16)
+        p, s = quantize_int4(jax.random.normal(jax.random.PRNGKey(23), (2, 100, 64)))
+        out = np.asarray(int4_bmm(x, p, s)).astype(np.float32)
+        ref = np.asarray(self._oracle(x, p, s))
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 0.02
+
+    def test_int4_matmul_leading_dims_and_odd_width(self):
+        x = jax.random.normal(jax.random.PRNGKey(24), (3, 5, 256), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(25), (256, 200))
+        p, s = quantize_int4(w)  # pads F 200→256
+        out = np.asarray(int4_matmul(x, p, s)).astype(np.float32)
+        ref = np.asarray(x.astype(jnp.float32) @ dequantize_int4(p, s))
+        assert out.shape == (3, 5, 200)
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 0.02
+
+
+class TestInt4Decode:
+    def test_tree_bits4_structure_and_fallback(self):
+        """bits=4 packs 256-divisible reduction dims; others fall back to
+        int8 (so the whole tree still avoids bf16 weight streaming)."""
+        from deepearth_tpu.models import DeepSeekForCausalLM
+
+        cfg = _decode_cfg()
+        model = DeepSeekForCausalLM(
+            cfg, vocab_size=256, tie_embeddings=False,
+            compute_dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        )
+        ids = jnp.zeros((1, 4), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)["params"]
+        qp = quantize_decoder_params(params, min_dim=64, bits=4)
+        l0 = qp["model"]["layer_0"]
+        # q_b_proj reduction dim = q_lora_rank = 128 (not 256-divisible) →
+        # int8 fallback; o_proj reduction = n_heads*v_head_dim = 128 → int8
+        assert "kernel_q" in l0["self_attn"]["q_b_proj"]
+        # mlp gate_proj reduction = hidden 128 → int8; lm_head 128 → int8.
+        # Nothing in the tiny config is 256-divisible, so force one:
+        w = jax.random.normal(jax.random.PRNGKey(1), (512, 384))
+        qp2 = quantize_decoder_params({"big": {"kernel": w}}, bits=4)
+        assert "kernel_q4" in qp2["big"]
+        x = jax.random.normal(jax.random.PRNGKey(2), (3, 512), jnp.bfloat16)
+        out = np.asarray(linear_p(qp2["big"], x)).astype(np.float32)
+        ref = np.asarray(
+            x.astype(jnp.float32)
+            @ dequantize_int4(qp2["big"]["kernel_q4"], qp2["big"]["scale"])
+        )
+        assert np.abs(out - ref).max() / np.abs(ref).max() < 0.02
+
+    def test_expert_ffn_q_int4(self):
+        e, c, d, f = 2, 8, 256, 256
+        keys = jax.random.split(jax.random.PRNGKey(26), 4)
+        x = jax.random.normal(keys[0], (e, c, d), jnp.bfloat16)
+        p = {}
+        for i, k in enumerate(("w_gate", "w_up", "w_down")):
+            shape = (e, d, f) if k != "w_down" else (e, f, d)
+            q, s = quantize_int4(jax.random.normal(keys[i + 1], shape) * 0.1)
+            p[k + "_q4"], p[k + "_scale"] = q, s
+        out = np.asarray(expert_ffn_q(p, x)).astype(np.float32)
+        xf = x.astype(jnp.float32)
+        g = jnp.einsum("ecd,edf->ecf", xf,
+                       dequantize_int4(p["w_gate_q4"], p["w_gate_scale"]))
+        u = jnp.einsum("ecd,edf->ecf", xf,
+                       dequantize_int4(p["w_up_q4"], p["w_up_scale"]))
+        ref = np.asarray(jnp.einsum(
+            "ecf,efd->ecd", jax.nn.silu(g) * u,
+            dequantize_int4(p["w_down_q4"], p["w_down_scale"]),
+        ))
+        atol = 0.03 * np.abs(ref).max()
+        np.testing.assert_allclose(out, ref, atol=atol)
+
+

@@ -34,6 +34,20 @@ def log(*a):
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--sections", default="bf16,int8,int4",
+        help="comma list of bf16/int8/int4; omitted sections are kept "
+             "from the existing BENCH_DECODE.json (so a new variant can "
+             "run without re-benching the others)",
+    )
+    ap.add_argument("--batches", default="1,8,32")
+    args = ap.parse_args()
+    sections = set(args.sections.split(","))
+    batch_sizes = tuple(int(b) for b in args.batches.split(","))
+
     import jax
 
     jax.config.update(
@@ -90,10 +104,16 @@ def main():
         ),
         "batches": {},
     }
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f)
+        for k in ("batches", "int8", "int4"):
+            if k in prev:
+                results[k] = prev[k]
 
     def bench(p, tag):
         out = {}
-        for B in (1, 8, 32):
+        for B in batch_sizes:
             ids = jax.random.randint(jax.random.PRNGKey(B), (B, S), 0, VOCAB)
             t0 = time.perf_counter()
             toks = generate(p, cfg, ids, max_new_tokens=T,
@@ -121,27 +141,35 @@ def main():
             log(f"{tag} B={B}: {out[str(B)]}")
         return out
 
-    results["batches"] = bench(params, "bf16")
+    if "bf16" in sections:
+        results["batches"] = bench(params, "bf16")
 
-    # -- int8 weight-only variant (ops/quant.py Pallas fused-dequant) ------ #
+    # -- int8/int4 weight-only variants (ops/quant.py fused-dequant) ------- #
     from deepearth_tpu.ops.quant import quantize_decoder_params, quantized_bytes
 
-    qp = jax.jit(quantize_decoder_params)(params)
-    jax.block_until_ready(qp)
-    cov = quantized_bytes(qp)
-    results["int8"] = {
-        "int8_weight_fraction": round(cov["int8_bytes"] / cov["total_bytes"], 3),
-        "weight_bytes_bf16": int(
-            sum(l.nbytes for l in jax.tree_util.tree_leaves(params))
-        ),
-        "weight_bytes_int8_tree": cov["total_bytes"],
-        "batches": bench(qp, "int8"),
-    }
-    for B in ("1", "8", "32"):
-        results["int8"]["batches"][B]["speedup_vs_bf16"] = round(
-            results["batches"][B]["wall_s"]
-            / results["int8"]["batches"][B]["wall_s"], 3,
-        )
+    bf16_bytes = int(sum(l.nbytes for l in jax.tree_util.tree_leaves(params)))
+    for bits in (8, 4):
+        key = f"int{bits}"
+        if key not in sections:
+            continue
+        qp = jax.jit(
+            lambda p, b=bits: quantize_decoder_params(p, bits=b)
+        )(params)
+        jax.block_until_ready(qp)
+        cov = quantized_bytes(qp)
+        results[key] = {
+            f"{key}_weight_fraction": round(
+                cov["int8_bytes"] / cov["total_bytes"], 3
+            ),
+            "weight_bytes_bf16": bf16_bytes,
+            f"weight_bytes_{key}_tree": cov["total_bytes"],
+            "batches": bench(qp, key),
+        }
+        for B, r in results[key]["batches"].items():
+            if B in results.get("batches", {}):
+                r["speedup_vs_bf16"] = round(
+                    results["batches"][B]["wall_s"] / r["wall_s"], 3
+                )
 
     with open(OUT, "w") as f:
         json.dump(results, f, indent=2)
