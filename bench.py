@@ -18,6 +18,7 @@ Extra diagnostic numbers go to stderr; stdout carries only the JSON line.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import sys
@@ -332,8 +333,14 @@ def main():
         ),
     }
     # fold in the big-model/pipeline artifacts measured by
-    # tools/bench_flagship.py and tools/bench_e2e.py when present
+    # tools/bench_flagship.py and tools/bench_e2e.py when present.
+    # Each embed is stamped with its measurement round/date (round-4 verdict
+    # weak #3: BENCH_r04 silently carried bit-identical round-3 sections) —
+    # a missing or older-than-current `measured_round` is flagged stale.
     here = os.path.dirname(os.path.abspath(__file__))
+    from deepearth_tpu.utils.artifacts import current_round
+
+    this_round = current_round()
     for key, fname in (
         ("flagship", "BENCH_FLAGSHIP.json"),
         ("input_pipeline", "BENCH_E2E.json"),
@@ -343,7 +350,22 @@ def main():
         if os.path.exists(p):
             try:
                 with open(p) as f:
-                    detail[key] = json.load(f)
+                    sec = json.load(f)
+                sec.setdefault("measured_round", None)
+                sec["artifact_mtime"] = datetime.datetime.fromtimestamp(
+                    os.path.getmtime(p), datetime.timezone.utc
+                ).strftime("%Y-%m-%dT%H:%M:%SZ")
+                if this_round is not None and (
+                    sec["measured_round"] is None
+                    or sec["measured_round"] < this_round
+                ):
+                    sec["stale"] = True
+                    log(
+                        f"[detail] WARNING: {fname} measured_round="
+                        f"{sec['measured_round']} < current round "
+                        f"{this_round} — re-measure it"
+                    )
+                detail[key] = sec
             except Exception:
                 pass
     # The big detail blob goes to stderr + a separate stdout line ABOVE the

@@ -10,6 +10,8 @@ never waits on the host.
 from __future__ import annotations
 
 import collections
+import os
+import sys
 import threading
 import time
 import queue as queue_mod
@@ -39,27 +41,43 @@ def device_prefetch(
             )
         return jax.tree_util.tree_map(jax.device_put, batch)
 
+    def _is_transient(e: Exception) -> bool:
+        # Only the observed transient failure retries: the axon TPU tunnel
+        # rejecting a transfer with INVALID_ARGUMENT under concurrent
+        # producer-thread IO (tools/bench_e2e_fullscale.py run).
+        # Deterministic errors (dtype/shape mismatch, OOM) re-raise
+        # immediately — retrying them only doubles failure latency.
+        return (
+            type(e).__name__ == "XlaRuntimeError"
+            and "INVALID_ARGUMENT" in str(e)
+        )
+
     def put(batch):
-        # One retry: remote-relay backends (the axon TPU tunnel) have been
-        # observed to reject a single transfer with a transient
-        # INVALID_ARGUMENT under concurrent producer-thread IO; the same
-        # device_put succeeds on retry (tools/bench_e2e_fullscale.py run).
         try:
             return put_once(batch)
         except Exception as e:
-            for path, leaf in jax.tree_util.tree_leaves_with_path(batch):
-                try:
-                    jax.device_put(leaf)
-                except Exception as le:
-                    print(
-                        f"[device_prefetch] leaf {jax.tree_util.keystr(path)} "
-                        f"{getattr(leaf, 'dtype', type(leaf))}"
-                        f"{getattr(leaf, 'shape', '')}: "
-                        f"{type(le).__name__}: {str(le)[:200]}",
-                        flush=True,
-                    )
-            print(f"[device_prefetch] retrying after {type(e).__name__}: "
-                  f"{str(e)[:200]}", flush=True)
+            if not _is_transient(e):
+                raise
+            if os.environ.get("DEEPEARTH_PREFETCH_DEBUG"):
+                # Per-leaf diagnostic sweep re-transfers a FULL extra batch
+                # (~10 s over the 22-38 MB/s tunnel) — opt-in only.
+                for path, leaf in jax.tree_util.tree_leaves_with_path(batch):
+                    try:
+                        jax.device_put(leaf)
+                    except Exception as le:
+                        print(
+                            f"[device_prefetch] leaf "
+                            f"{jax.tree_util.keystr(path)} "
+                            f"{getattr(leaf, 'dtype', type(leaf))}"
+                            f"{getattr(leaf, 'shape', '')}: "
+                            f"{type(le).__name__}: {str(le)[:200]}",
+                            file=sys.stderr, flush=True,
+                        )
+            print(
+                f"[device_prefetch] retrying after {type(e).__name__}: "
+                f"{str(e)[:200]}",
+                file=sys.stderr, flush=True,
+            )
             time.sleep(0.5)
             return put_once(batch)
 

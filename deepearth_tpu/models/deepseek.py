@@ -563,6 +563,36 @@ def _layer_uses_moe(cfg: DeepSeekBlockConfig, i: int) -> bool:
     )
 
 
+def _pipeline_split(cfg: DeepSeekBlockConfig, n_stages: int):
+    """Smallest sequential prefix length p such that layers p..n_layers
+    split into n_stages equal stages with IDENTICAL dense/MoE patterns
+    (stacked stage params require one tree structure).
+
+    p = 0 when the stack is already uniform; the flagship default
+    (first_k_dense_replace=1, moe_layer_freq=1, 24 layers / 4 stages)
+    yields p = 4 — the dense layer plus three MoE layers run sequentially
+    (replicated, like an embedding block on stage 0) and the remaining 20
+    uniform MoE layers pipeline. Pure function of the config per the SPMD
+    determinism convention.
+    """
+    for p in range(cfg.n_layers - n_stages + 1):
+        rem = cfg.n_layers - p
+        if rem % n_stages:
+            continue
+        k = rem // n_stages
+        pats = [
+            tuple(_layer_uses_moe(cfg, p + s * k + i) for i in range(k))
+            for s in range(n_stages)
+        ]
+        if all(q == pats[0] for q in pats):
+            return p, pats[0]
+    raise ValueError(
+        f"no prefix split of {cfg.n_layers} layers into {n_stages} uniform "
+        f"pipeline stages (first_k_dense_replace={cfg.first_k_dense_replace},"
+        f" moe_layer_freq={cfg.moe_layer_freq})"
+    )
+
+
 class _PipelineStage(nn.Module):
     """One pipeline stage: k consecutive decoder blocks with a FIXED
     dense/MoE pattern (stacked stage params require one structure)."""
@@ -576,7 +606,9 @@ class _PipelineStage(nn.Module):
     deterministic: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self, x: jnp.ndarray, key_mask: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
         block_cls = DeepSeekBlock
         if self.remat:
             block_cls = nn.remat(DeepSeekBlock, static_argnums=(2, 3))
@@ -585,14 +617,20 @@ class _PipelineStage(nn.Module):
                 self.cfg, layer_idx=i, force_moe=bool(use_moe),
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype, name=f"layer_{i}",
-            )(x, None, self.is_causal, self.deterministic)
+            )(x, key_mask, self.is_causal, self.deterministic)
         return x
 
 
 class _PipeTick(nn.Module):
     """One GPipe tick: feed slot 0, run ALL stages in parallel (vmapped —
     the stage axis shards over the mesh's 'pipe' axis), stash the last
-    stage's output, rotate activations one slot down."""
+    stage's output, rotate activations one slot down.
+
+    With ``has_mask`` the per-microbatch key_mask travels with its
+    activations in a parallel (stage, mb, N) buffer that rotates in
+    lockstep; bubble slots carry all-False masks, whose attention output
+    is pinned to zero on every backend (tests/test_attention_vmem.py) —
+    bubble outputs are discarded anyway."""
 
     cfg: DeepSeekBlockConfig
     moe_pattern: tuple
@@ -603,33 +641,44 @@ class _PipeTick(nn.Module):
     remat: bool = False
     is_causal: bool = False
     deterministic: bool = True
+    has_mask: bool = False
 
     @nn.compact
     def __call__(self, carry, xs):
-        acts, outbuf = carry
-        t, x_in = xs
+        if self.has_mask:
+            acts, masks, outbuf = carry
+            t, x_in, m_in = xs
+            masks = masks.at[0].set(m_in)
+        else:
+            acts, outbuf = carry
+            t, x_in = xs
+            masks = None
         acts = acts.at[0].set(x_in)
         VStage = nn.vmap(
             _PipelineStage,
             variable_axes={"params": 0, "intermediates": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=0,
+            in_axes=(0, 0) if self.has_mask else 0,
             out_axes=0,
             axis_size=self.n_stages,
         )
-        ys = VStage(
+        stage = VStage(
             self.cfg, self.moe_pattern,
             compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
             remat=self.remat, is_causal=self.is_causal,
             deterministic=self.deterministic, name="stages",
-        )(acts)
+        )
+        ys = stage(acts, masks) if self.has_mask else stage(acts)
         oi = jnp.clip(t - (self.n_stages - 1), 0, self.n_micro - 1)
         write = t >= self.n_stages - 1
         cur = jax.lax.dynamic_index_in_dim(outbuf, oi, keepdims=False)
         outbuf = jax.lax.dynamic_update_index_in_dim(
             outbuf, jnp.where(write, ys[-1], cur), oi, axis=0
         )
-        return (jnp.roll(ys, 1, axis=0), outbuf), None
+        ys = jnp.roll(ys, 1, axis=0)
+        if self.has_mask:
+            return (ys, jnp.roll(masks, 1, axis=0), outbuf), None
+        return (ys, outbuf), None
 
 
 class DeepSeekTransformer(nn.Module):
@@ -664,11 +713,7 @@ class DeepSeekTransformer(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         if self.cfg.pipeline_stages and self.cfg.pipeline_stages > 1:
-            if key_mask is not None:
-                raise NotImplementedError(
-                    "pipelined DeepSeekTransformer does not take a key_mask"
-                )
-            x = self._pipelined(x, is_causal, deterministic)
+            x = self._pipelined(x, key_mask, is_causal, deterministic)
             return RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)
         block_cls = DeepSeekBlock
         if self.remat:
@@ -681,25 +726,23 @@ class DeepSeekTransformer(nn.Module):
             )(x, key_mask, is_causal, deterministic)
         return RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)
 
-    def _pipelined(self, x, is_causal, deterministic):
+    def _pipelined(self, x, key_mask, is_causal, deterministic):
         cfg = self.cfg
         n_stages = cfg.pipeline_stages
-        k, rem = divmod(cfg.n_layers, n_stages)
-        if rem:
-            raise ValueError(
-                f"n_layers {cfg.n_layers} must divide into "
-                f"{n_stages} pipeline stages"
-            )
-        patterns = [
-            tuple(_layer_uses_moe(cfg, s * k + i) for i in range(k))
-            for s in range(n_stages)
-        ]
-        if any(p != patterns[0] for p in patterns):
-            raise ValueError(
-                "pipeline stages need a uniform dense/MoE layer pattern: "
-                f"got {patterns} (adjust first_k_dense_replace/"
-                "moe_layer_freq or stage count)"
-            )
+        # Non-uniform stacks (e.g. first_k_dense_replace=1, the flagship
+        # default) run their shortest alignment prefix sequentially —
+        # replicated like stage-0 embeddings — then pipeline the uniform
+        # remainder (_pipeline_split docstring).
+        prefix, pattern = _pipeline_split(cfg, n_stages)
+        block_cls = DeepSeekBlock
+        if self.remat:
+            block_cls = nn.remat(DeepSeekBlock, static_argnums=(2, 3))
+        for i in range(prefix):
+            x = block_cls(
+                cfg, layer_idx=i,
+                compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
+                name=f"layer_{i}",
+            )(x, key_mask, is_causal, deterministic)
 
         B, N, D = x.shape
         m = cfg.pipeline_microbatches
@@ -713,11 +756,23 @@ class DeepSeekTransformer(nn.Module):
         ticks = m + n_stages - 1
 
         x_mb = x.reshape(m, mb, N, D)
-        feed = x_mb[jnp.clip(jnp.arange(ticks), 0, m - 1)]
-        carry0 = (
-            jnp.zeros((n_stages, mb, N, D), x.dtype),
-            jnp.zeros_like(x_mb),
-        )
+        idx = jnp.clip(jnp.arange(ticks), 0, m - 1)
+        feed = x_mb[idx]
+        has_mask = key_mask is not None
+        if has_mask:
+            km_mb = key_mask.reshape(m, mb, N)
+            carry0 = (
+                jnp.zeros((n_stages, mb, N, D), x.dtype),
+                jnp.zeros((n_stages, mb, N), key_mask.dtype),
+                jnp.zeros_like(x_mb),
+            )
+            xs = (jnp.arange(ticks), feed, km_mb[idx])
+        else:
+            carry0 = (
+                jnp.zeros((n_stages, mb, N, D), x.dtype),
+                jnp.zeros_like(x_mb),
+            )
+            xs = (jnp.arange(ticks), feed)
         ScanTick = nn.scan(
             _PipeTick,
             variable_broadcast="params",
@@ -727,12 +782,13 @@ class DeepSeekTransformer(nn.Module):
             in_axes=0,
             out_axes=0,
         )
-        (_, outbuf), _ = ScanTick(
-            cfg, patterns[0], n_stages, m,
+        out = ScanTick(
+            cfg, pattern, n_stages, m,
             compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
             remat=self.remat, is_causal=is_causal,
-            deterministic=deterministic, name="pipe",
-        )(carry0, (jnp.arange(ticks), feed))
+            deterministic=deterministic, has_mask=has_mask, name="pipe",
+        )(carry0, xs)
+        outbuf = out[0][-1]
         return outbuf.reshape(B, N, D)
 
 

@@ -167,19 +167,25 @@ def make_train_step(
         if B % k:
             raise ValueError(f"batch {B} not divisible by microbatch_steps {k}")
 
-        def split_mb(x):
-            if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == B:
-                return x.reshape((k, B // k) + x.shape[1:])
-            return x  # non-batched leaf: replicated across microbatches
-
-        mb_batch = jax.tree_util.tree_map(split_mb, batch)
+        # Record which leaves actually got split so take_mb never indexes a
+        # non-batched leaf whose leading dim coincidentally equals k
+        # (ADVICE r4: re-inferring from shape[0]==k silently fed each
+        # microbatch a different slice of a replicated leaf).
+        split_flags = jax.tree_util.tree_map(
+            lambda x: bool(
+                hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == B
+            ),
+            batch,
+        )
+        mb_batch = jax.tree_util.tree_map(
+            lambda x, s: x.reshape((k, B // k) + x.shape[1:]) if s else x,
+            batch, split_flags,
+        )
         rngs = jax.random.split(rng, k)
 
         def take_mb(i):
             return jax.tree_util.tree_map(
-                lambda x: x[i] if hasattr(x, "shape") and x.ndim >= 1
-                and x.shape[0] == k else x,
-                mb_batch,
+                lambda x, s: x[i] if s else x, mb_batch, split_flags
             )
 
         # carry structure from an abstract pass (no FLOPs, no memory)

@@ -394,12 +394,83 @@ class TestPipelinedTransformer:
         norm_sh = sh["norm"]["weight"]
         assert norm_sh.spec == ()  # unstacked leaves stay replicated
 
-    def test_nonuniform_pattern_rejected(self):
+    @staticmethod
+    def _stack_from_seq_prefix(p0, n_stages, k, prefix):
+        out = {f"layer_{i}": p0[f"layer_{i}"] for i in range(prefix)}
+        out["pipe"] = {
+            "stages": {
+                f"layer_{i}": jax.tree_util.tree_map(
+                    lambda *ls: jnp.stack(ls),
+                    *[p0[f"layer_{prefix + s * k + i}"] for s in range(n_stages)],
+                )
+                for i in range(k)
+            }
+        }
+        out["norm"] = p0["norm"]
+        return out
+
+    def test_first_k_dense_prefix_matches_sequential(self):
+        """first_k_dense_replace=1 (the flagship default) pipelines via a
+        sequential alignment prefix: layers 0..p-1 replicated, the uniform
+        MoE remainder pipelined (round-5, VERDICT r4 #2)."""
+        from deepearth_tpu.models.deepseek import (
+            DeepSeekTransformer, _pipeline_split,
+        )
+
+        cfg0 = self._cfg(first_k_dense_replace=1)
+        cfg_pp = self._cfg(
+            first_k_dense_replace=1, pipeline_stages=2,
+            pipeline_microbatches=4,
+        )
+        prefix, pattern = _pipeline_split(cfg_pp, 2)
+        assert (prefix, pattern) == (2, (True,))
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 6, 64))
+        m0, mp = DeepSeekTransformer(cfg0), DeepSeekTransformer(cfg_pp)
+        p0 = m0.init(jax.random.PRNGKey(1), x)["params"]
+        pp = self._stack_from_seq_prefix(p0, 2, 1, prefix)
+        assert jax.tree_util.tree_structure(pp) == jax.tree_util.tree_structure(
+            mp.init(jax.random.PRNGKey(1), x)["params"]
+        )
+        np.testing.assert_allclose(
+            np.asarray(mp.apply({"params": pp}, x)),
+            np.asarray(m0.apply({"params": p0}, x)),
+            atol=1e-5,
+        )
+        g0 = jax.grad(lambda p: (m0.apply({"params": p}, x) ** 2).sum())(p0)
+        gp = jax.grad(lambda p: (mp.apply({"params": p}, x) ** 2).sum())(pp)
+        errs = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()),
+            gp, self._stack_from_seq_prefix(g0, 2, 1, prefix),
+        )
+        assert max(jax.tree_util.tree_leaves(errs)) < 1e-4
+
+    def test_key_mask_matches_sequential(self):
+        """key_mask rides the pipeline in a lockstep-rotating buffer
+        (round-5, VERDICT r4 #2: _PipeTick mask threading)."""
         from deepearth_tpu.models.deepseek import DeepSeekTransformer
 
-        cfg = self._cfg(first_k_dense_replace=1, pipeline_stages=4)
+        cfg0 = self._cfg()
+        cfg_pp = self._cfg(pipeline_stages=2, pipeline_microbatches=4)
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 6, 64))
+        mask = jax.random.bernoulli(jax.random.PRNGKey(3), 0.7, (8, 6))
+        mask = mask.at[:, 0].set(True)  # keep >=1 visible key per row
+        m0, mp = DeepSeekTransformer(cfg0), DeepSeekTransformer(cfg_pp)
+        p0 = m0.init(jax.random.PRNGKey(1), x, mask)["params"]
+        pp = self._stack_from_seq(p0, 2, 2)
+        np.testing.assert_allclose(
+            np.asarray(mp.apply({"params": pp}, x, mask)),
+            np.asarray(m0.apply({"params": p0}, x, mask)),
+            atol=1e-5,
+        )
+
+    def test_impossible_pattern_rejected(self):
+        """moe_layer_freq=2 with one layer per stage alternates dense/MoE
+        stage patterns — no prefix alignment exists."""
+        from deepearth_tpu.models.deepseek import DeepSeekTransformer
+
+        cfg = self._cfg(moe_layer_freq=2, pipeline_stages=4)
         x = jnp.zeros((4, 6, 64))
-        with pytest.raises(ValueError, match="uniform"):
+        with pytest.raises(ValueError, match="no prefix split"):
             DeepSeekTransformer(cfg).init(jax.random.PRNGKey(0), x)
 
 

@@ -104,10 +104,32 @@ def main():
         ),
         "batches": {},
     }
+    # Stamp every measured section with a config hash (+ commit, for
+    # traceability) so resume-merged sections are only compared when they
+    # were measured under the same model config / shape list (ADVICE r4:
+    # a fresh int8 time divided by a stale bf16 baseline mislabels the
+    # speedup).
+    import hashlib
+    import subprocess
+
+    stamp = {
+        "config_sha": hashlib.sha256(
+            repr((cfg, VOCAB, S, T, batch_sizes)).encode()
+        ).hexdigest()[:12],
+    }
+    try:
+        stamp["commit"] = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(OUT), capture_output=True, text=True,
+            timeout=10,
+        ).stdout.strip()
+    except Exception:
+        pass
+
     if os.path.exists(OUT):
         with open(OUT) as f:
             prev = json.load(f)
-        for k in ("batches", "int8", "int4"):
+        for k in ("batches", "bf16_stamp", "int8", "int4"):
             if k in prev:
                 results[k] = prev[k]
 
@@ -143,6 +165,7 @@ def main():
 
     if "bf16" in sections:
         results["batches"] = bench(params, "bf16")
+        results["bf16_stamp"] = stamp
 
     # -- int8/int4 weight-only variants (ops/quant.py fused-dequant) ------- #
     from deepearth_tpu.ops.quant import quantize_decoder_params, quantized_bytes
@@ -164,13 +187,26 @@ def main():
             "weight_bytes_bf16": bf16_bytes,
             f"weight_bytes_{key}_tree": cov["total_bytes"],
             "batches": bench(qp, key),
+            "stamp": stamp,
         }
+        bf16_ok = (
+            results.get("bf16_stamp", {}).get("config_sha")
+            == stamp["config_sha"]
+        )
         for B, r in results[key]["batches"].items():
             if B in results.get("batches", {}):
-                r["speedup_vs_bf16"] = round(
-                    results["batches"][B]["wall_s"] / r["wall_s"], 3
-                )
+                if bf16_ok:
+                    r["speedup_vs_bf16"] = round(
+                        results["batches"][B]["wall_s"] / r["wall_s"], 3
+                    )
+                else:
+                    # resume-merged bf16 baseline was measured under a
+                    # different config — a ratio would be mislabeled
+                    r["speedup_vs_bf16_stale_baseline"] = True
 
+    from deepearth_tpu.utils.artifacts import round_stamp
+
+    results.update(round_stamp())
     with open(OUT, "w") as f:
         json.dump(results, f, indent=2)
     log(f"wrote {OUT}")

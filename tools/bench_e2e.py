@@ -409,6 +409,9 @@ def main():
             "13 MB rows.",
         }
 
+    from deepearth_tpu.utils.artifacts import round_stamp
+
+    results.update(round_stamp())
     with open(OUT, "w") as f:
         json.dump(results, f, indent=2)
     log(f"wrote {OUT}")

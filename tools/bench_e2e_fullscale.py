@@ -187,7 +187,13 @@ def main():
         with open(partial_path, "w") as f:
             json.dump(result, f, indent=2)
 
-    rng = np.random.default_rng(11)
+    # Independent per-stage RNG streams (ADVICE r4): the resume branch
+    # replays only the sp/year/has_vision draws, not every draw
+    # write_observations consumes, so later stages must not share its
+    # generator — spawned children keep each stage's stream independent of
+    # whether earlier stages ran or were skipped.
+    _root = np.random.default_rng(11)
+    rng_obs, rng_vision, rng = _root.spawn(3)
 
     # -- 1) observations parquet -------------------------------------------- #
     obs_path = os.path.join(args.workdir, "observations.parquet")
@@ -198,21 +204,21 @@ def main():
     ):
         # same seed -> same draw; regenerate the id/species/vision arrays
         # without rewriting the (identical) files
-        sp = rng.integers(0, args.n_species, args.n_obs)
-        rng.integers(YEARS[0], YEARS[1] + 1, args.n_obs)
+        sp = rng_obs.integers(0, args.n_species, args.n_obs)
+        rng_obs.integers(YEARS[0], YEARS[1] + 1, args.n_obs)
         gbif = np.arange(
             6_000_000_001, 6_000_000_001 + args.n_obs, dtype=np.int64
         )
         has_vision = np.zeros(args.n_obs, bool)
         has_vision[
-            rng.choice(args.n_obs, args.n_vision, replace=False)
+            rng_obs.choice(args.n_obs, args.n_vision, replace=False)
         ] = True
         vis_ids = gbif[has_vision]
         log("resume: reusing observations.parquet + vision_store")
     else:
         t0 = time.time()
         gbif, sp, has_vision = write_observations(
-            obs_path, args.n_obs, args.n_species, args.n_vision, rng
+            obs_path, args.n_obs, args.n_species, args.n_vision, rng_obs
         )
         result["observations_parquet"] = {
             "rows": args.n_obs, "write_s": round(time.time() - t0, 1),
@@ -224,7 +230,7 @@ def main():
         # -- 2) chunked vision conversion through the real CLI --------------- #
         vis_ids = gbif[has_vision]
         t_gen, t_conv = convert_vision_chunks(
-            store, vis_ids, args.chunk_rows, rng,
+            store, vis_ids, args.chunk_rows, rng_vision,
             os.path.join(args.workdir, "staging"),
         )
         store_gb = os.path.getsize(store + ".bin") / 1e9

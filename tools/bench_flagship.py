@@ -444,6 +444,9 @@ def main():
         if which in ("all", "train"):
             bench_train(results)
     finally:
+        from deepearth_tpu.utils.artifacts import round_stamp
+
+        results.update(round_stamp())
         with open(OUT, "w") as f:
             json.dump(results, f, indent=2)
         log(f"wrote {OUT}")

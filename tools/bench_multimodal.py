@@ -136,7 +136,10 @@ if __name__ == "__main__":
         print(json.dumps(rows))
         sys.exit(0)
     out = bench_multimodal()
+    from deepearth_tpu.utils.artifacts import round_stamp
+
     payload = {k: round(v, 1) for k, v in out.items()}
+    payload.update(round_stamp())
     with open(
         os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                      "BENCH_MULTIMODAL.json"),

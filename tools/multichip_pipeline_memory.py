@@ -1,18 +1,25 @@
-"""Per-device memory evidence for the in-model pipeline (round-4 item 2).
+"""Per-device memory evidence for the in-model pipeline (round-4 item 2;
+round 5: runs the AS-CONFIGURED flagship stack, first_k_dense_replace=1).
 
 Compiles the 5B flagship's 24-layer MoE simulator stack (hidden 2048,
-8 experts × 2048 — the exact DeepSeekBlockConfig the flagship uses) as a
-train-style fwd+bwd+update step in two forms:
+8 experts × 2048, first_k_dense_replace=1 — the exact DeepSeekBlockConfig
+the flagship uses, configs.py defaults) as a train-style fwd+bwd+update
+step in three forms:
 
   * sequential (pipeline_stages=0) on ONE device;
-  * pipelined (pipeline_stages=8) over a ('data'=1, 'pipe'=8) mesh with the
-    stacked stage parameters sharded 1/P by parallel/mesh.py's 'stages'
-    rule;
+  * pipelined (pipeline_stages=4) over a ('data'=2, 'pipe'=4) mesh: the
+    non-uniform dense/MoE pattern pipelines via the sequential alignment
+    prefix (models/deepseek.py _pipeline_split — 4 prefix layers replicated,
+    20 uniform MoE layers stacked and sharded 1/4 by parallel/mesh.py's
+    'stages' rule);
+  * pipelined + FSDP storage sharding over ('data','pipe') — the prefix
+    layers' (and every other replicated leaf's) storage ZeRO-3-shards over
+    all 8 devices, the production composition;
 
-and records per-device ``memory_analysis()`` for both: the pipelined
-per-device argument bytes must be ≈ 1/8 of the sequential stack's weights
-(plus the replicated tail), which is the point of PP — models whose weights
-don't fit one chip. Loss equality of the two programs at tiny scale is
+and records per-device ``memory_analysis()`` for each: pipelining must cut
+per-device argument bytes toward 1/P of the sequential stack (plus the
+prefix, which FSDP then scatters), which is the point of PP — models whose
+weights don't fit one chip. Loss equality of the programs at tiny scale is
 pinned by tests/test_parallel_pp_sp.py and __graft_entry__.dryrun_multichip.
 
 Writes MULTICHIP_PIPELINE.json. Run (CPU, no TPU needed):
@@ -70,7 +77,8 @@ def main():
             n_routed_experts=8, num_experts_per_tok=2,
             moe_intermediate_size=2048, hidden_dim=2048, n_shared_experts=1,
         ),
-        first_k_dense_replace=0,
+        first_k_dense_replace=1,  # the configs.py:254 default — round-5
+        # _pipeline_split handles the non-uniform pattern via a prefix
     )
     B, N = 16, 22  # flagship fusion sequence (cls + st + 16 vision + 4 lang)
     x_shape = jax.ShapeDtypeStruct((B, N, 2048), jnp.bfloat16)
@@ -91,12 +99,20 @@ def main():
 
         return model, step
 
+    N_PIPE = 4
     result = {"config": {
         "n_layers": 24, "hidden": 2048, "experts": 8,
         "moe_intermediate": 2048, "batch": B, "seq": N,
+        "first_k_dense_replace": 1, "pipeline_stages": N_PIPE,
+        "mesh": {"data": N_DEV // N_PIPE, "pipe": N_PIPE},
     }}
 
-    for tag, stages in (("sequential_1dev", 0), ("pipelined_8dev", N_DEV)):
+    legs = (
+        ("sequential_1dev", 0, ()),
+        ("pipelined_8dev", N_PIPE, ()),
+        ("pipelined_fsdp_8dev", N_PIPE, ("data", "pipe")),
+    )
+    for tag, stages, fsdp_axes in legs:
         cfg = dataclasses.replace(
             base, pipeline_stages=stages,
             pipeline_microbatches=(16 if stages else 0),
@@ -116,11 +132,12 @@ def main():
         )
         if stages:
             mesh = create_mesh(
-                jax.devices()[:N_DEV], mesh_shape=(1, N_DEV),
+                jax.devices()[:N_DEV],
+                mesh_shape=(N_DEV // N_PIPE, N_PIPE),
                 axis_names=("data", "pipe"),
             )
-            p_sh = make_param_shardings(params, mesh)
-            o_sh = make_param_shardings(opt, mesh)
+            p_sh = make_param_shardings(params, mesh, fsdp_axes=fsdp_axes)
+            o_sh = make_param_shardings(opt, mesh, fsdp_axes=fsdp_axes)
             from deepearth_tpu.parallel import batch_sharding
 
             jitted = jax.jit(
@@ -161,7 +178,12 @@ def main():
 
     seq = result["sequential_1dev"]["xla_per_device"]["argument_bytes"]
     pp = result["pipelined_8dev"]["xla_per_device"]["argument_bytes"]
+    ppf = result["pipelined_fsdp_8dev"]["xla_per_device"]["argument_bytes"]
     result["argument_bytes_ratio"] = round(seq / max(pp, 1), 2)
+    result["argument_bytes_ratio_fsdp"] = round(seq / max(ppf, 1), 2)
+    from deepearth_tpu.utils.artifacts import round_stamp
+
+    result.update(round_stamp())
     with open(OUT, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
