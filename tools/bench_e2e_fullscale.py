@@ -146,6 +146,12 @@ def main():
     ap.add_argument("--resume", action="store_true",
                     help="reuse workdir artifacts + the .partial result from "
                          "a crashed run (stages already recorded are skipped)")
+    ap.add_argument("--stop-after", default="",
+                    choices=("", "conversion", "store", "pool"),
+                    help="checkpoint and exit after this stage — lets the "
+                         "CPU/disk-bound store build run in the background "
+                         "while the epoch later runs on a quiet core "
+                         "(--resume picks up where it stopped)")
     args = ap.parse_args()
 
     import jax
@@ -161,8 +167,9 @@ def main():
 
     from deepearth_tpu.configs import ModalityConfig, tiny_config
     from deepearth_tpu.data import (
-        DatasetConfig, MMapEmbeddingLoader, ObservationDataset,
-        UnifiedDataCache, device_prefetch, threaded_producer,
+        DatasetConfig, MMapEmbeddingLoader, MMapEmbeddingWriter,
+        ObservationDataset, UnifiedDataCache, device_prefetch,
+        threaded_producer,
     )
     from deepearth_tpu.evaluation import DeepEarthEvaluator
     from deepearth_tpu.models import DeepEarthModel
@@ -193,7 +200,7 @@ def main():
     # generator — spawned children keep each stage's stream independent of
     # whether earlier stages ran or were skipped.
     _root = np.random.default_rng(11)
-    rng_obs, rng_vision, rng = _root.spawn(3)
+    rng_obs, rng_vision, rng_store, rng = _root.spawn(4)
 
     # -- 1) observations parquet -------------------------------------------- #
     obs_path = os.path.join(args.workdir, "observations.parquet")
@@ -242,31 +249,90 @@ def main():
         log(f"conversion: {result['conversion']}")
         checkpoint()
 
+    if args.stop_after == "conversion":
+        checkpoint()
+        log("stopped after conversion (--stop-after)")
+        return
+
     # -- 3) store stats: cold rows + batch-of-100 ---------------------------- #
     vloader = MMapEmbeddingLoader(store)
-    fresh = rng.choice(vis_ids, min(24, len(vis_ids)), replace=False)
-    lat = []
-    for oid in fresh[:8]:
+    if not (args.resume and "store" in result):
+        fresh = rng_store.choice(vis_ids, min(24, len(vis_ids)), replace=False)
+        lat = []
+        for oid in fresh[:8]:
+            t0 = time.time()
+            assert vloader.get(int(oid)) is not None
+            lat.append(time.time() - t0)
         t0 = time.time()
-        assert vloader.get(int(oid)) is not None
-        lat.append(time.time() - t0)
-    t0 = time.time()
-    got, found = vloader.get_batch([int(i) for i in fresh[8:24]])
-    batch_ms = (time.time() - t0) * 1e3 / max(len(fresh) - 8, 1)
-    result["store"] = {
-        "single_row_ms_p50_fresh": round(float(np.median(lat)) * 1e3, 1),
-        "batch_fetch_ms_per_row_fresh": round(batch_ms, 1),
-        "reference_baseline_ms": {"single": 71, "batch100_per_item": 25},
-    }
-    log(f"store: {result['store']}")
+        got, found = vloader.get_batch([int(i) for i in fresh[8:24]])
+        batch_ms = (time.time() - t0) * 1e3 / max(len(fresh) - 8, 1)
+        result["store"] = {
+            "single_row_ms_p50_fresh": round(float(np.median(lat)) * 1e3, 1),
+            "batch_fetch_ms_per_row_fresh": round(batch_ms, 1),
+            "reference_baseline_ms": {"single": 71, "batch100_per_item": 25},
+        }
+        log(f"store: {result['store']}")
+        checkpoint()
+    if args.stop_after == "store":
+        log("stopped after store stats (--stop-after)")
+        return
 
-    # -- 4) one training epoch, pooled store + prefetch ---------------------- #
+    # -- 3.5) pooled store: the documented IO mitigation, built AT SCALE ----- #
+    # One pass over the full-grid store pools every row to (1408,) fp16
+    # (the exact reduction get_training_batch(pool_vision=True) applies
+    # after reading 12.97 MB — done once here, so every epoch reads 2.8 KB
+    # rows instead; BENCH_E2E.json small-scale pooled variant, round-4
+    # verdict item 5 demanded it at scale).
+    pooled_path = os.path.join(args.workdir, "vision_pooled")
+    if not (
+        args.resume and "pooling" in result
+        and os.path.exists(pooled_path + ".bin")
+    ):
+        t0 = time.time()
+        CH = 48
+        with MMapEmbeddingWriter(
+            pooled_path, embedding_shape=(VISION_SHAPE[-1],), dtype="float16"
+        ) as w:
+            for s in range(0, len(vis_ids), CH):
+                ids = [int(i) for i in vis_ids[s : s + CH]]
+                arr, found = vloader.get_batch(ids, out_dtype=np.float16)
+                assert all(found), ids
+                pooled = (
+                    arr.reshape(arr.shape[0], -1, arr.shape[-1])
+                    .mean(axis=1, dtype=np.float32)
+                    .astype(np.float16)
+                )
+                for oid, prow in zip(ids, pooled):
+                    w.add(oid, prow)
+                if (s // CH) % 8 == 0:
+                    log(f"  pooled {min(s + CH, len(vis_ids))}/{len(vis_ids)}")
+        pool_s = time.time() - t0
+        full_gb = len(vis_ids) * VISION_FLAT * 2 / 1e9
+        result["pooling"] = {
+            "rows": int(len(vis_ids)),
+            "pooled_row_shape": [VISION_SHAPE[-1]],
+            "pooled_store_mb": round(
+                os.path.getsize(pooled_path + ".bin") / 1e6, 1
+            ),
+            "pass_s": round(pool_s, 1),
+            "read_mb_per_s": round(full_gb * 1e3 / max(pool_s, 1e-9), 1),
+        }
+        log(f"pooling: {result['pooling']}")
+        checkpoint()
+    if args.stop_after == "pool":
+        log("stopped after pooling (--stop-after)")
+        return
+
+    # -- 4) one training epoch through the PRE-POOLED store + prefetch ------- #
     ds = ObservationDataset.from_parquet(obs_path)
     cfg_ds = DatasetConfig(
         bbox=(BOUNDS["south"], BOUNDS["west"], BOUNDS["north"], BOUNDS["east"]),
         year_range=YEARS,
     )
     cache = UnifiedDataCache(ds, cfg_ds, vision_loader=vloader)
+    cache_pooled = UnifiedDataCache(
+        ds, cfg_ds, vision_loader=MMapEmbeddingLoader(pooled_path)
+    )
 
     cfg = tiny_config()
     cfg.modalities.clear()
@@ -295,10 +361,10 @@ def main():
     def epoch_batches():
         for s in range(n_steps):
             sel = gbif[order[s * args.batch : (s + 1) * args.batch]]
-            yield cache.get_training_batch(sel, pool_vision=True)
+            yield cache_pooled.get_training_batch(sel)
 
     state = trainer.init_state(
-        cache.get_training_batch(gbif[: args.batch], pool_vision=True)
+        cache_pooled.get_training_batch(gbif[: args.batch])
     )
     # device-only rate: same jit step re-running on one resident batch
     import functools
@@ -311,7 +377,7 @@ def main():
     )
     resident = jax.tree_util.tree_map(
         jnp.asarray,
-        cache.get_training_batch(gbif[: args.batch], pool_vision=True),
+        cache_pooled.get_training_batch(gbif[: args.batch]),
     )
     # donation threads ONE state through both loops: step_fn donates its
     # input buffers, so the epoch below must continue from the threaded
@@ -336,24 +402,55 @@ def main():
     epoch_s = time.time() - t0
     e2e_obs_s = n_done * args.batch / epoch_s
     result["epoch"] = {
+        "path": "pooled_store",
         "steps": n_done, "batch": args.batch,
         "wall_s": round(epoch_s, 1),
         "e2e_obs_per_s": round(e2e_obs_s, 1),
         "device_only_obs_per_s": round(device_obs_s, 1),
+        "e2e_fraction_of_device_rate": round(e2e_obs_s / device_obs_s, 3),
         "data_stall_fraction": round(
             max(0.0, 1.0 - e2e_obs_s / device_obs_s), 3
         ),
         "final_loss": loss,
+    }
+    log(f"epoch: {result['epoch']}")
+    checkpoint()
+
+    # -- 4b) full-grid contrast sample: a few steps reading 12.97 MB rows ---- #
+    # (the 23 GB full epoch on this path is round 4's measured datapoint:
+    # data_stall_fraction 0.999 — re-sampled here at 46 GB, capped, so the
+    # contrast is recorded without burning 40 minutes on a known result)
+    fg_steps = min(12, n_steps)
+
+    def fullgrid_batches():
+        for s in range(fg_steps):
+            sel = gbif[order[s * args.batch : (s + 1) * args.batch]]
+            yield cache.get_training_batch(sel, pool_vision=True)
+
+    t0 = time.time()
+    n_fg = 0
+    for batch in device_prefetch(
+        threaded_producer(fullgrid_batches, capacity=2), size=2
+    ):
+        state, m = step_fn(state, batch, jax.random.PRNGKey(1000 + n_fg))
+        n_fg += 1
+    float(np.asarray(m["loss/total"]))
+    fg_s = time.time() - t0
+    fg_rate = n_fg * args.batch / fg_s
+    result["epoch_fullgrid_sample"] = {
+        "steps": n_fg, "batch": args.batch, "wall_s": round(fg_s, 1),
+        "e2e_obs_per_s": round(fg_rate, 1),
+        "e2e_fraction_of_device_rate": round(fg_rate / device_obs_s, 3),
         "store_bytes_read_gb": round(
-            n_done * args.batch * (len(vis_ids) / args.n_obs)
+            n_fg * args.batch * (len(vis_ids) / args.n_obs)
             * VISION_FLAT * 2 / 1e9, 1,
         ),
     }
-    log(f"epoch: {result['epoch']}")
+    log(f"epoch_fullgrid_sample: {result['epoch_fullgrid_sample']}")
 
     # -- 5) probe + dashboard over HTTP -------------------------------------- #
     test_sel = gbif[rng.choice(args.n_obs, 512, replace=False)]
-    eval_batch = cache.get_training_batch(test_sel, pool_vision=True)
+    eval_batch = cache_pooled.get_training_batch(test_sel)
     out = model.apply({"params": state.params}, eval_batch, deterministic=True)
     feats = np.asarray(out["fused_representation"], np.float32)
     labels = np.asarray(eval_batch["modalities"]["species"])
@@ -398,6 +495,9 @@ def main():
         srv.stop()
     log(f"http: {result['http_training_batch']}")
 
+    from deepearth_tpu.utils.artifacts import round_stamp
+
+    result.update(round_stamp())
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
