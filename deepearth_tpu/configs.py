@@ -300,6 +300,12 @@ class FusionConfig:
     # gradient checkpointing over fusion layers (jax.checkpoint); the
     # reference exposed the flag but never wired it (train_deepearth.py:46)
     remat: bool = False
+    # checkpoint policy for `remat`: 'full' recomputes everything;
+    # 'dots' = jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    # keeps matmul outputs resident and recomputes only elementwise ops —
+    # less recompute FLOPs for modest extra memory (round-4 verdict item 4:
+    # involuntary-remat flops grew executed/model to 1.20x at B=96)
+    remat_policy: str = "full"
     max_seq_length: int = 8192
     max_spatial_resolution: int = 64
     # When set, fusion layers use MLA + MoE DeepSeek blocks instead of dense
@@ -337,6 +343,9 @@ class ModalityConfig:
     # trainable flagship (the reference's grad-checkpointing flag was never
     # wired — reference: train_deepearth.py:46)
     encoder_remat: bool = False
+    # checkpoint policy for encoder_remat: 'full' | 'dots' (see
+    # FusionConfig.remat_policy)
+    encoder_remat_policy: str = "full"
     # Sequence parallelism for the encoder transformer: when set (e.g.
     # 'sequence') and the ambient mesh (jax.set_mesh) carries that axis,
     # its attention runs as ring attention over the axis — for native

@@ -203,6 +203,7 @@ class DeepEarthModel(nn.Module):
         modality_names = tuple(["spacetime"] + sorted(cfg.modalities))
         fusion_out = CrossModalFusion(
             cfg.fusion, modality_names, cd, pd, remat=cfg.fusion.remat,
+            remat_policy=cfg.fusion.remat_policy,
             name="fusion",
         )(
             tokens,
@@ -216,6 +217,7 @@ class DeepEarthModel(nn.Module):
         if cfg.fusion.deepseek_block is not None:
             h_tokens = DeepSeekTransformer(
                 cfg.fusion.deepseek_block, cd, pd, remat=cfg.fusion.remat,
+                remat_policy=cfg.fusion.remat_policy,
                 name="simulator",
             )(h_tokens, deterministic=deterministic)
             fusion_out = dict(fusion_out)

@@ -36,6 +36,29 @@ from ..ops.shapes import round_up
 from ..ops.rope import apply_rope_deepseek, rope_cos_sin, yarn_get_mscale
 
 
+def remat_wrap(cls, static_argnums, policy: str = "full"):
+    """``nn.remat`` with a named ``jax.checkpoint`` policy.
+
+    'full' recomputes the whole block in backward (max memory savings);
+    'dots' = ``dots_with_no_batch_dims_saveable`` keeps matmul outputs
+    resident and recomputes only the elementwise tail — the recompute-FLOP
+    lever for the fwd↔train MFU gap (round-4 verdict item 4: involuntary
+    XLA remat grew executed/model flops to 1.20x at B=96);
+    'dots_saveable' additionally saves batch-dim dots.
+    """
+    if policy in (None, "", "full"):
+        return nn.remat(cls, static_argnums=static_argnums)
+    policies = {
+        "dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "dots_saveable": jax.checkpoint_policies.dots_saveable,
+    }
+    if policy not in policies:
+        raise ValueError(
+            f"unknown remat policy {policy!r}; want full|dots|dots_saveable"
+        )
+    return nn.remat(cls, static_argnums=static_argnums, policy=policies[policy])
+
+
 def _flash_block_sizes(seq_len: int):
     """Tuned tile sizes for the Pallas flash kernel.
 
@@ -602,6 +625,7 @@ class _PipelineStage(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
     is_causal: bool = False
     deterministic: bool = True
 
@@ -611,7 +635,9 @@ class _PipelineStage(nn.Module):
     ) -> jnp.ndarray:
         block_cls = DeepSeekBlock
         if self.remat:
-            block_cls = nn.remat(DeepSeekBlock, static_argnums=(2, 3))
+            block_cls = remat_wrap(
+                DeepSeekBlock, static_argnums=(2, 3), policy=self.remat_policy
+            )
         for i, use_moe in enumerate(self.moe_pattern):
             x = block_cls(
                 self.cfg, layer_idx=i, force_moe=bool(use_moe),
@@ -639,6 +665,7 @@ class _PipeTick(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
     is_causal: bool = False
     deterministic: bool = True
     has_mask: bool = False
@@ -665,7 +692,8 @@ class _PipeTick(nn.Module):
         stage = VStage(
             self.cfg, self.moe_pattern,
             compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
-            remat=self.remat, is_causal=self.is_causal,
+            remat=self.remat, remat_policy=self.remat_policy,
+            is_causal=self.is_causal,
             deterministic=self.deterministic, name="stages",
         )
         ys = stage(acts, masks) if self.has_mask else stage(acts)
@@ -703,6 +731,7 @@ class DeepSeekTransformer(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(
@@ -717,7 +746,9 @@ class DeepSeekTransformer(nn.Module):
             return RMSNorm(eps=self.cfg.rms_norm_eps, name="norm")(x)
         block_cls = DeepSeekBlock
         if self.remat:
-            block_cls = nn.remat(DeepSeekBlock, static_argnums=(2, 3))
+            block_cls = remat_wrap(
+                DeepSeekBlock, static_argnums=(2, 3), policy=self.remat_policy
+            )
         for i in range(self.cfg.n_layers):
             x = block_cls(
                 self.cfg, layer_idx=i,
@@ -736,7 +767,9 @@ class DeepSeekTransformer(nn.Module):
         prefix, pattern = _pipeline_split(cfg, n_stages)
         block_cls = DeepSeekBlock
         if self.remat:
-            block_cls = nn.remat(DeepSeekBlock, static_argnums=(2, 3))
+            block_cls = remat_wrap(
+                DeepSeekBlock, static_argnums=(2, 3), policy=self.remat_policy
+            )
         for i in range(prefix):
             x = block_cls(
                 cfg, layer_idx=i,
@@ -785,7 +818,8 @@ class DeepSeekTransformer(nn.Module):
         out = ScanTick(
             cfg, pattern, n_stages, m,
             compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
-            remat=self.remat, is_causal=is_causal,
+            remat=self.remat, remat_policy=self.remat_policy,
+            is_causal=is_causal,
             deterministic=deterministic, has_mask=has_mask, name="pipe",
         )(carry0, xs)
         outbuf = out[0][-1]

@@ -187,7 +187,8 @@ class UniversalTokenEncoder(nn.Module):
 
         x = DeepSeekTransformer(
             self._transformer_cfg(), self.compute_dtype, self.param_dtype,
-            remat=m.encoder_remat, name="transformer",
+            remat=m.encoder_remat, remat_policy=m.encoder_remat_policy,
+            name="transformer",
         )(x, deterministic=deterministic)
 
         if m.n_tokens > 1:

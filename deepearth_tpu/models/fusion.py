@@ -229,6 +229,7 @@ class CrossModalFusion(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(
@@ -281,7 +282,11 @@ class CrossModalFusion(nn.Module):
 
         layer_cls = FusionLayer
         if self.remat:
-            layer_cls = nn.remat(FusionLayer, static_argnums=(4,))
+            from .deepseek import remat_wrap
+
+            layer_cls = remat_wrap(
+                FusionLayer, static_argnums=(4,), policy=self.remat_policy
+            )
         for i in range(cfg.num_fusion_layers):
             layer = layer_cls(
                 cfg, layer_idx=i,

@@ -27,6 +27,7 @@ class InductiveSimulator(nn.Module):
     compute_dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    remat_policy: str = "full"
 
     @nn.compact
     def __call__(
@@ -45,6 +46,7 @@ class InductiveSimulator(nn.Module):
             )
         return DeepSeekTransformer(
             self.cfg, self.compute_dtype, self.param_dtype, remat=self.remat,
+            remat_policy=self.remat_policy,
             name="transformer",
         )(tokens, deterministic=deterministic)
 

@@ -693,6 +693,50 @@ class TestAutoPositions:
         leaves = jax.tree_util.tree_leaves(g)
         assert any(np.abs(np.asarray(l)).sum() > 0 for l in leaves)
 
+    def test_remat_policy_gradients_match(self):
+        """'dots' checkpoint policy (matmul outputs saved, elementwise
+        recomputed) computes THE SAME gradients as full remat — it only
+        changes the memory/recompute trade (VERDICT r4 item 4).
+
+        Compared at fp32 compute: there the two policies are bit-identical
+        on XLA:CPU (measured). Under bf16 compute the policies differ at
+        ~1e-2 relative — the same magnitude as full-remat vs no-remat —
+        because saving vs recomputing changes op fusion/rounding order,
+        not semantics."""
+        cfg = tiny_config()
+        cfg.compute_dtype = jnp.float32
+        cfg.fusion.remat = True
+        model = DeepEarthModel(cfg)
+        batch = make_tiny_batch(jax.random.PRNGKey(0))
+        params = model.init(jax.random.PRNGKey(1), batch)
+
+        def grads():
+            return jax.jit(jax.grad(
+                lambda p: jnp.sum(
+                    DeepEarthModel(cfg).apply(p, batch)[
+                        "fused_representation"
+                    ].astype(jnp.float32) ** 2
+                )
+            ))(params)
+
+        g_full = grads()
+        cfg.fusion.remat_policy = "dots"
+        g_dots = grads()
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_full),
+            jax.tree_util.tree_leaves(g_dots),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-5, atol=1e-6,
+            )
+
+    def test_remat_policy_unknown_raises(self):
+        from deepearth_tpu.models.deepseek import remat_wrap
+
+        with pytest.raises(ValueError):
+            remat_wrap(DeepEarthModel, static_argnums=(), policy="bogus")
+
 
 class TestHierarchicalPositions:
     def test_hierarchical_with_positions_downsampling(self):
