@@ -103,7 +103,7 @@ def pallas_attn_flops(B, *, H=8, S=576, dh=128, layers=2, bwd=False,
 
 def build_model(moe_experts=8, moe_intermediate=2048, n_layers=24,
                 second_moment="factored", encoder_remat=False,
-                fusion_remat=False):
+                fusion_remat=False, remat_policy="full"):
     import jax.numpy as jnp
 
     from deepearth_tpu.configs import integrated_config
@@ -135,8 +135,11 @@ def build_model(moe_experts=8, moe_intermediate=2048, n_layers=24,
     if encoder_remat:
         for m in cfg.modalities.values():
             m.encoder_remat = True
+            m.encoder_remat_policy = remat_policy
     if fusion_remat:
-        cfg.fusion = dataclasses.replace(cfg.fusion, remat=True)
+        cfg.fusion = dataclasses.replace(
+            cfg.fusion, remat=True, remat_policy=remat_policy
+        )
     from deepearth_tpu.models import DeepEarthModel
 
     return cfg, DeepEarthModel(cfg)
@@ -241,8 +244,13 @@ def bench_train(results, plan=None):
     best = None
     model_flops_cache = {}
 
-    # (batch, encoder_remat, fusion_remat): remat FIXED per column, plus the
-    # (64, enc, enc+fus) pair that isolates the fusion-remat cost at fixed B
+    # (batch, encoder_remat, fusion_remat[, remat_policy, microbatch]):
+    # remat FIXED per column, plus the (64, enc, enc+fus) pair that isolates
+    # the fusion-remat cost at fixed B. Round-5 entries add the two
+    # recompute levers from VERDICT r4 item 4: 'dots' checkpoint policies
+    # (matmul outputs saved, elementwise recomputed) and in-step microbatch
+    # accumulation (per-microbatch activations of a batch that fits with NO
+    # remat, optimizer swept once).
     if plan is None:
         plan = [
             (8, False, False), (16, False, False), (32, False, False),
@@ -250,12 +258,18 @@ def bench_train(results, plan=None):
             (96, True, True), (128, True, True),
         ]
 
-    for B, enc_remat, fus_remat in plan:
+    for entry in plan:
+        B, enc_remat, fus_remat = entry[:3]
+        policy = entry[3] if len(entry) > 3 else "full"
+        mb = entry[4] if len(entry) > 4 else 1
         cfg, model = build_model(
             moe_experts=4, moe_intermediate=1024, n_layers=10,
             encoder_remat=enc_remat, fusion_remat=fus_remat,
+            remat_policy=policy,
         )
-        key = f"{B}" + ("+fr" if fus_remat and B == 64 else "")
+        key = f"{B}" + ("+fr" if fus_remat and B == 64 else "") \
+            + (f"+{policy}" if policy != "full" else "") \
+            + (f"+mb{mb}" if mb > 1 else "")
         try:
             batch = make_batch(jax.random.PRNGKey(0), B, SV, SL)
             params = model.init(jax.random.PRNGKey(1), batch)["params"]
@@ -269,7 +283,8 @@ def bench_train(results, plan=None):
             )
             del params
             step = jax.jit(
-                make_train_step(model, cfg, LossWeights(contrastive=0.0)),
+                make_train_step(model, cfg, LossWeights(contrastive=0.0),
+                                microbatch_steps=mb),
                 donate_argnums=(0,),
             )
             noop = jax.jit(
@@ -285,6 +300,13 @@ def bench_train(results, plan=None):
                 (state, batch, jax.random.PRNGKey(0)),
             )
             flops = flops_of(step, *abstract)
+            if mb > 1 and np.isfinite(flops):
+                # XLA cost analysis counts the grad-accum lax.scan body
+                # ONCE; the step executes it mb times. The optimizer
+                # update (outside the scan, ~25 flops/param < 0.2% here)
+                # is counted once in `flops`; scale only the body.
+                opt_flops = 25.0 * n_params
+                flops = mb * (flops - opt_flops) + opt_flops
 
             # model FLOPs: the same (B) step compiled WITHOUT remat, for
             # cost analysis only (executing it may OOM; compiling is fine)
@@ -340,7 +362,9 @@ def bench_train(results, plan=None):
             res = {
                 "params_b": round(n_params / 1e9, 3),
                 "batch": B, "vision_seq": SV,
-                "remat": {"encoder": enc_remat, "fusion": fus_remat},
+                "remat": {"encoder": enc_remat, "fusion": fus_remat,
+                          "policy": policy},
+                "microbatch_steps": mb,
                 "step_ms": round(dt * 1e3, 2),
                 "obs_per_s": round(B / dt, 1),
                 "native_patches_per_s": round(B * SV / dt, 1),
@@ -363,9 +387,15 @@ def bench_train(results, plan=None):
             log(f"[flagship-train] B={B} {scaling[key]}")
             continue
 
-    results["train_batch_scaling"] = scaling
-    if best is not None:
-        results["train_largest_single_chip"] = best
+    # merge (partial plans extend the table instead of wiping it); best is
+    # re-picked over the WHOLE merged table so a partial run can't demote it
+    merged = results.setdefault("train_batch_scaling", {})
+    merged.update(scaling)
+    numeric = [v for v in merged.values() if isinstance(v, dict)]
+    if numeric:
+        results["train_largest_single_chip"] = max(
+            numeric, key=lambda e: e["obs_per_s"]
+        )
     return best
 
 
@@ -443,6 +473,26 @@ def main():
             bench_forward(results)
         if which in ("all", "train"):
             bench_train(results)
+        if which == "train5":
+            # round-5 recompute-lever sweep (VERDICT r4 item 4): dots
+            # policies at the remat-forced batches, microbatch accumulation
+            # at B>=64 so each microbatch is the no-remat B=32 shape
+            bench_train(results, plan=[
+                (32, False, False),
+                (64, False, False, "full", 2),
+                (96, False, False, "full", 3),
+                (128, False, False, "full", 4),
+                (64, True, False, "dots", 1),
+                (96, True, True, "dots", 1),
+            ])
+        if which == "train5c":
+            # deeper microbatch accumulation: the fixed adamw sweep (~38 ms)
+            # and per-microbatch accum-carry traffic amortize with mb —
+            # projected from the mb4 point to cross 0.65 model-MFU at mb8
+            bench_train(results, plan=[
+                (256, False, False, "full", 8),
+                (512, False, False, "full", 16),
+            ])
     finally:
         from deepearth_tpu.utils.artifacts import round_stamp
 
