@@ -189,6 +189,17 @@ def main():
             "batches": bench(qp, key),
             "stamp": stamp,
         }
+        # weight-stream floor: a B=1 decode step must at minimum read the
+        # whole (quantized) weight tree once from HBM at 819 GB/s (v5e);
+        # fraction_of_weight_stream_floor = floor/measured per batch row
+        # (PROFILE_DECODE_OPS.json attributes the int8 residual to GEMV
+        # dequant ALU).
+        floor_ms = cov["total_bytes"] / 819e9 * 1e3
+        results[key]["weight_stream_floor_ms"] = round(floor_ms, 3)
+        for r in results[key]["batches"].values():
+            r["fraction_of_weight_stream_floor"] = round(
+                floor_ms / r["ms_per_step"], 3
+            )
         bf16_ok = (
             results.get("bf16_stamp", {}).get("config_sha")
             == stamp["config_sha"]

@@ -84,20 +84,37 @@ def generate(n_obs: int, n_species: int, seed: int = 7):
     t = ((year - YEARS[0]) + doy) / (YEARS[1] - YEARS[0] + 1)
     xyzt = np.stack([xy[:, 0], xy[:, 1], z, t], 1).astype(np.float32)
 
-    # embeddings: species prototype + linear (x,y,z,t) projection + noise
+    # embeddings: NONLINEAR in the coordinates (round-4 verdict item 8 —
+    # the linear `xyzt @ P` map was trivially invertible). The coordinate
+    # code is a random 2-layer tanh MLP of xyzt, modulated by a per-species
+    # seasonal phase (species × time interaction) and a per-species random
+    # gain on every feature (species × coordinate interaction) — the
+    # qualitative structure real V-JEPA2/DeepSeek embeddings of geotagged
+    # imagery carry (sun angle, vegetation, phenology).
+    phase = rng.uniform(0, 1, n_species)
+
     def embed(dim, scale_proto, scale_coord, noise, key):
         r = np.random.default_rng(key)
         proto = r.standard_normal((n_species, dim)).astype(np.float32)
-        pcoord = r.standard_normal((4, dim)).astype(np.float32)
+        w1 = (r.standard_normal((4, 64)) * 1.5).astype(np.float32)
+        b1 = r.standard_normal(64).astype(np.float32)
+        w2 = (r.standard_normal((64, dim)) / 8.0).astype(np.float32)
+        coord_code = np.tanh(xyzt @ w1 + b1) @ w2  # nonlinear xyzt code
+        season = 1.0 + 0.4 * np.sin(
+            2 * np.pi * (doy + phase[sp])
+        ).astype(np.float32)[:, None]
+        gain = (1.0 + 0.5 * r.standard_normal((n_species, dim))).astype(
+            np.float32
+        )
         e = (
             scale_proto * proto[sp]
-            + scale_coord * (xyzt @ pcoord)
+            + scale_coord * gain[sp] * coord_code * season
             + noise * r.standard_normal((n_obs, dim)).astype(np.float32)
         )
         return e.astype(np.float32)
 
-    lang = embed(LANGUAGE_DIM, 1.0, 1.5, 0.3, seed + 1)
-    vis = embed(VISION_DIM, 1.0, 1.5, 0.3, seed + 2)
+    lang = embed(LANGUAGE_DIM, 1.0, 2.0, 0.3, seed + 1)
+    vis = embed(VISION_DIM, 1.0, 2.0, 0.3, seed + 2)
     return xyzt, sp.astype(np.int32), lang, vis
 
 
@@ -211,9 +228,19 @@ def main():
     )
     log(f"params: {n_params/1e6:.1f}M, training {args.steps} steps "
         f"@ batch {args.batch} on {jax.default_backend()}")
+    loss_curve = []
+
+    class _CurveSink:
+        def log(self, metrics, step=None):
+            if "loss/total" in metrics:
+                loss_curve.append(
+                    [int(step), round(float(metrics["loss/total"]), 4)]
+                )
+
     state, metrics = trainer.fit(
         state, batches(), num_steps=args.steps,
-        log_every=max(args.steps // 10, 1),
+        log_every=max(args.steps // 40, 1),
+        metric_sink=_CurveSink(),
     )
     train_s = time.time() - t0
     log(f"trained in {train_s:.1f}s, final loss "
@@ -286,7 +313,10 @@ def main():
             "structure": [
                 "species-region clusters sigma~3km",
                 "per-species seasonal peak sigma~25d",
-                "embeddings = proto[species] + 1.5*(xyzt @ P) + 0.3*noise",
+                "embeddings = proto[sp] + 2*gain[sp] * "
+                "(tanh(xyzt@W1+b1)@W2) * (1+0.4 sin(2pi(doy+phase[sp]))) "
+                "+ 0.3*noise  (nonlinear coordinate code, species x coord "
+                "and species x season interactions — verdict r4 item 8)",
             ],
             "bbox": BOUNDS, "years": list(YEARS),
         },
@@ -296,6 +326,7 @@ def main():
             "steps": args.steps, "batch": args.batch,
             "final_loss": float(metrics["loss/total"]),
             "wall_s": round(train_s, 1),
+            "loss_curve_step_loss": loss_curve,
         },
         "held_out": {
             "n_test": int(B),
