@@ -68,7 +68,7 @@ def _moe_apply(p: Dict[str, Any], cfg, x: jnp.ndarray) -> jnp.ndarray:
         gate.topk_idx, gate.topk_weight, n_experts=e, capacity=capacity
     )
     expert_in = jnp.einsum("sec,sd->ecd", dispatch.astype(xf.dtype), xf)
-    if "w_gate_q" in p:  # int8-quantized experts (ops.quant)
+    if "w_gate_q" in p or "w_gate_q4" in p:  # quantized experts (ops.quant)
         expert_out = expert_ffn_q(p, expert_in)
     else:
         expert_out = expert_ffn(expert_in, p["w_gate"], p["w_up"], p["w_down"])

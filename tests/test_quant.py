@@ -10,6 +10,8 @@ Serving-efficiency parity target: the reference's llama.cpp-quantized
 language service (reference: README.md:29, encoders/language/server.py).
 """
 
+import dataclasses
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -353,3 +355,35 @@ class TestInt4Decode:
         np.testing.assert_allclose(out, ref, atol=atol)
 
 
+
+    def test_generate_runs_on_int4_tree(self):
+        """generate() over a bits=4 tree whose MoE reduction dims ARE
+        256-divisible, so the experts land on the w_gate_q4 path —
+        the exact wiring a tiny all-fallback config never exercises
+        (caught live: _moe_apply only looked for the int8 key and
+        KeyError'd on w_gate in the 2.42B int4 decode bench)."""
+        from deepearth_tpu.models import DeepSeekForCausalLM, generate
+
+        cfg = _decode_cfg()
+        cfg = dataclasses.replace(
+            cfg, hidden_dim=256,
+            mla=dataclasses.replace(cfg.mla, hidden_dim=256),
+            moe=dataclasses.replace(
+                cfg.moe, hidden_dim=256, moe_intermediate_size=256,
+            ),
+            intermediate_size=256,
+        )
+        model = DeepSeekForCausalLM(
+            cfg, vocab_size=256, tie_embeddings=False,
+            compute_dtype=jnp.bfloat16, param_dtype=jnp.bfloat16,
+        )
+        ids = jnp.zeros((1, 4), jnp.int32)
+        params = model.init(jax.random.PRNGKey(0), ids)["params"]
+        qp = quantize_decoder_params(params, min_dim=64, bits=4)
+        l1 = qp["model"]["layer_1"]
+        assert "w_gate_q4" in l1["moe"], sorted(l1["moe"])
+        prompt = jnp.asarray([[3, 17, 42]], jnp.int32)
+        toks = generate(qp, cfg, prompt, max_new_tokens=4,
+                        cache_dtype=jnp.bfloat16)
+        t = np.asarray(toks)
+        assert t.shape == (1, 4) and (t >= 0).all() and (t < 256).all()
