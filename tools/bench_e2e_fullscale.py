@@ -416,6 +416,107 @@ def main():
     log(f"epoch: {result['epoch']}")
     checkpoint()
 
+    # -- 4a) device-RESIDENT pooled epoch ------------------------------------- #
+    # The TPU-native production layout: the pooled stores fit HBM outright
+    # (language 33,665 x 7168 fp16 = 483 MB, pooled vision 95 MB on a 16 GB
+    # chip), so upload ONCE and gather per-step batches by index INSIDE the
+    # jit step. Per-step host traffic drops from 4.4 MB of embeddings to a
+    # 1 KB index vector — the streaming path's H2D/dispatch stall (the 0.74
+    # data_stall_fraction above) disappears. The 46 GB full-grid store can
+    # never be resident; this is the pooled tier's end state, not a trick.
+    t0 = time.time()
+    lang_mat = np.stack(
+        ds.df["language_embedding"].to_numpy()
+    ).astype(np.float16)
+    vis_mat = np.zeros((args.n_obs, VISION_SHAPE[-1]), np.float16)
+    vrows = np.asarray([ds.row_for_id(int(i)) for i in vis_ids]).astype(int)
+    pooled_rows, pfound = cache_pooled.vision_loader.get_batch(
+        [int(i) for i in vis_ids], out_dtype=np.float16
+    )
+    vis_mat[vrows] = pooled_rows
+    xyzt_mat = ds.normalized_xyzt(
+        None, bbox=cfg_ds.bbox, year_range=cfg_ds.year_range
+    )
+    sp_mat = ds.df["species_idx"].to_numpy(np.int32)
+    build_s = time.time() - t0
+    t0 = time.time()
+    xyzt_d, sp_d, vis_d, lang_d = (
+        jax.device_put(a) for a in (xyzt_mat, sp_mat, vis_mat, lang_mat)
+    )
+    float(np.asarray(lang_d[0, 0]))  # force the transfers to completion
+    h2d_s = time.time() - t0
+
+    base_step = make_train_step(model, cfg, LossWeights(contrastive=0.02))
+
+    def _resident_step(st, key, idx, xyzt_a, sp_a, vis_a, lang_a):
+        batch = {
+            "xyzt": xyzt_a[idx],
+            "modalities": {
+                "species": sp_a[idx],
+                "vision": vis_a[idx],
+                "language": lang_a[idx],
+            },
+        }
+        return base_step(st, batch, key)
+
+    res_step = jax.jit(_resident_step, donate_argnums=(0,))
+    idx0 = jnp.asarray(order[: args.batch].astype(np.int32))
+    state, m = res_step(state, jax.random.PRNGKey(0), idx0,
+                        xyzt_d, sp_d, vis_d, lang_d)
+    float(np.asarray(m["loss/total"]))  # compile + sync
+    # device-only rate: K pre-staged distinct index vectors, one end sync.
+    # K matches the e2e step count so the ~30 ms tunnel sync floor amortizes
+    # identically in both loops (K=16 made the denominator look SLOWER than
+    # the e2e loop, fraction 1.3). Positions wrap mod n_obs so every staged
+    # vector is exactly batch-sized (a short/empty tail slice would
+    # recompile inside the timed loop).
+    K = n_steps
+    staged = [
+        jax.device_put(
+            order[(i * args.batch + np.arange(args.batch)) % args.n_obs]
+            .astype(np.int32)
+        )
+        for i in range(K)
+    ]
+    t0 = time.time()
+    for i in range(K):
+        state, m = res_step(state, jax.random.PRNGKey(i), staged[i],
+                            xyzt_d, sp_d, vis_d, lang_d)
+    float(np.asarray(m["loss/total"]))
+    res_device_obs_s = K * args.batch / (time.time() - t0)
+    # e2e epoch: host index vectors transferred per step, sync only at end
+    t0 = time.time()
+    for s in range(n_steps):
+        idx = order[s * args.batch : (s + 1) * args.batch].astype(np.int32)
+        state, m = res_step(state, jax.random.PRNGKey(s), idx,
+                            xyzt_d, sp_d, vis_d, lang_d)
+    res_loss = float(np.asarray(m["loss/total"]))
+    res_s = time.time() - t0
+    res_obs_s = n_steps * args.batch / res_s
+    result["epoch_device_resident"] = {
+        "path": "device_resident_pooled",
+        "setup": {
+            "lang_matrix_mb": round(lang_mat.nbytes / 1e6, 1),
+            "vision_matrix_mb": round(vis_mat.nbytes / 1e6, 1),
+            "build_s": round(build_s, 1),
+            "h2d_s": round(h2d_s, 1),
+        },
+        "steps": n_steps, "batch": args.batch,
+        "wall_s": round(res_s, 1),
+        "e2e_obs_per_s": round(res_obs_s, 1),
+        "device_only_obs_per_s": round(res_device_obs_s, 1),
+        "e2e_fraction_of_device_rate": round(
+            res_obs_s / res_device_obs_s, 3
+        ),
+        "data_stall_fraction": round(
+            max(0.0, 1.0 - res_obs_s / res_device_obs_s), 3
+        ),
+        "final_loss": res_loss,
+    }
+    log(f"epoch_device_resident: {result['epoch_device_resident']}")
+    checkpoint()
+    del xyzt_d, sp_d, vis_d, lang_d, staged
+
     # -- 4b) full-grid contrast sample: a few steps reading 12.97 MB rows ---- #
     # (the 23 GB full epoch on this path is round 4's measured datapoint:
     # data_stall_fraction 0.999 — re-sampled here at 46 GB, capped, so the

@@ -347,6 +347,9 @@ def main():
             },
         },
     }
+    from deepearth_tpu.utils.artifacts import round_stamp
+
+    artifact.update(round_stamp())
     with open(args.out, "w") as f:
         json.dump(artifact, f, indent=2)
     # merge the v2 section into REFERENCE_E2E.json (verdict item 3's "done");

@@ -302,6 +302,9 @@ def main():
         "compile_s": round(t_compile, 1),
         "lower_s": round(t_lower, 1),
     }
+    from deepearth_tpu.utils.artifacts import round_stamp
+
+    result.update(round_stamp())
     with open(OUT, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))

@@ -555,6 +555,9 @@ def main():
                         " — NO measured point satisfies both; reporting the "
                         "highest projected-MFU point instead"),
     }
+    from deepearth_tpu.utils.artifacts import round_stamp
+
+    result.update(round_stamp())
     with open(OUT, "w") as f:
         json.dump(result, f, indent=2)
 

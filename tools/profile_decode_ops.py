@@ -84,6 +84,8 @@ def main():
     from deepearth_tpu.models.mla_decode import init_cache
 
     use_bf16 = "bf16" in sys.argv[1:]
+    use_int4 = "int4" in sys.argv[1:]
+    variant = "bf16" if use_bf16 else ("int4" if use_int4 else "int8")
     log(f"devices: {jax.devices()}")
 
     VOCAB = 32000
@@ -114,7 +116,11 @@ def main():
     if not use_bf16:
         from deepearth_tpu.ops.quant import quantize_decoder_params, quantized_bytes
 
-        params = jax.jit(quantize_decoder_params)(params)
+        params = jax.jit(
+            functools.partial(
+                quantize_decoder_params, bits=4 if use_int4 else 8
+            )
+        )(params)
         jax.block_until_ready(params)
         weight_bytes = quantized_bytes(params)["total_bytes"]
 
