@@ -21,6 +21,7 @@ Writes PROFILE_DECODE_OPS.json. Run:
 from __future__ import annotations
 
 import collections
+import functools
 import json
 import os
 import re
@@ -205,7 +206,7 @@ def main():
         for b, ms in sorted(buckets.items(), key=lambda kv: -kv[1])
     }
     result = {
-        "variant": "bf16" if use_bf16 else "int8",
+        "variant": variant,
         "batch": B, "max_len": MAX_LEN, "reps": reps,
         "device_busy_ms_per_step": round(step_ms, 3),
         "weight_bytes": int(weight_bytes),
@@ -213,7 +214,11 @@ def main():
         "pct_of_floor": round(100 * floor_ms / step_ms, 1),
         "buckets": rows,
     }
-    out = OUT if not use_bf16 else OUT.replace(".json", "_BF16.json")
+    out = (
+        OUT
+        if variant == "int8"
+        else OUT.replace(".json", f"_{variant.upper()}.json")
+    )
     with open(out, "w") as f:
         json.dump(result, f, indent=2)
     log(f"wrote {out}")
