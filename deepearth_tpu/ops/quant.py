@@ -41,6 +41,41 @@ def _pick_block(n: int, cands) -> Optional[int]:
     return None
 
 
+def _pick_tiles(
+    dh: int, fp: int, cp: int, int4: bool, budget: int = 13 * 2**20
+):
+    """Largest-area (bd, bf) weight tile under a VMEM budget.
+
+    Per-tile fixed cost, not unpack ALU, dominates the fused-dequant
+    GEMV residual (tools/exp_int4_tiles.py, profiler busy-sums: 2048x1024
+    tiles are 1.53x over the old 512x512 default; the 3-dot
+    reduced-ALU kernel variant measured SLOWER). So: maximize bd*bf
+    subject to divisibility and the scratch estimate fitting VMEM
+    (streamed inputs double-buffered; int4 additionally materializes two
+    bf16 half-tiles in-register). Pure function of shapes — safe under
+    the SPMD determinism convention.
+    """
+    best = None
+    for bd in (2048, 1024, 512, 256, 128):
+        if dh % bd:
+            continue
+        for bf in (1024, 512, 256, 128):
+            if fp % bf:
+                continue
+            if int4:
+                vmem = 6 * bd * bf + 8 * cp * bd + 6 * cp * bf
+            else:
+                vmem = 4 * bd * bf + 4 * cp * bd + 6 * cp * bf
+            if vmem > budget:
+                continue
+            key = (bd * bf, bd)
+            if best is None or key > best[0]:
+                best = (key, bd, bf)
+    if best is None:
+        return None, None
+    return best[1], best[2]
+
+
 # --------------------------------------------------------------------------- #
 # quantization
 # --------------------------------------------------------------------------- #
@@ -148,14 +183,16 @@ def int8_bmm(
     w_q: jnp.ndarray,
     scale: jnp.ndarray,
     out_dtype=jnp.bfloat16,
-    block_f: int = 512,
-    block_d: int = 512,
+    block_f: Optional[int] = None,
+    block_d: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Batched ``x @ dequant(w_q)``: (E, C, D) × (E, D, Fp) → (E, C, F).
 
     Weights stay int8 through HBM→VMEM; the kernel widens tiles in-register.
-    Falls back to the XLA dequant path when shapes don't tile (non-128 D).
+    Tile sizes auto-maximize under the VMEM budget (``_pick_tiles``) unless
+    block_f/block_d are given. Falls back to the XLA dequant path when
+    shapes don't tile (non-128 D).
     """
     e, c, d = x.shape
     fp = w_q.shape[-1]
@@ -163,8 +200,12 @@ def int8_bmm(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    bd = _pick_block(d, (block_d, 256, 128))
-    bf = _pick_block(fp, (block_f, 256, 128))
+    cp0 = max(_ceil_to(c, 16), 16)
+    if block_d is None and block_f is None:
+        bd, bf = _pick_tiles(d, fp, cp0, int4=False)
+    else:
+        bd = _pick_block(d, (block_d or 512, 256, 128))
+        bf = _pick_block(fp, (block_f or 512, 256, 128))
     if bd is None or bf is None:
         return jnp.einsum(
             "ecd,edf->ecf", x, dequantize(w_q, scale).astype(x.dtype)
@@ -228,16 +269,18 @@ def int4_bmm(
     w_p: jnp.ndarray,
     scale: jnp.ndarray,
     out_dtype=jnp.bfloat16,
-    block_f: int = 512,
-    block_d: int = 512,
+    block_f: Optional[int] = None,
+    block_d: Optional[int] = None,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Batched ``x @ dequant(w_p)`` over split-half int4 packed weights:
     (E, C, D) × (E, D/2, Fp) → (E, C, F).
 
     Streams HALF the weight bytes of :func:`int8_bmm`; the unpack (two
-    shifts + widen per nibble pair) rides the VPU. Falls back to the XLA
-    dequant path when the packed reduction dim doesn't tile.
+    shifts + widen per nibble pair) rides the VPU. Tile sizes
+    auto-maximize under the VMEM budget (``_pick_tiles``) unless
+    block_f/block_d are given. Falls back to the XLA dequant path when
+    the packed reduction dim doesn't tile.
     """
     e, c, d = x.shape
     dh = d // 2
@@ -246,8 +289,12 @@ def int4_bmm(
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    bd = _pick_block(dh, (block_d, 256, 128))
-    bf = _pick_block(fp, (block_f, 256, 128))
+    cp0 = max(_ceil_to(c, 16), 16)
+    if block_d is None and block_f is None:
+        bd, bf = _pick_tiles(dh, fp, cp0, int4=True)
+    else:
+        bd = _pick_block(dh, (block_d or 512, 256, 128))
+        bf = _pick_block(fp, (block_f or 512, 256, 128))
     if bd is None or bf is None or d % 2 or w_p.shape[-2] != dh:
         return jnp.einsum(
             "ecd,edf->ecf", x, dequantize_int4(w_p, scale).astype(x.dtype)

@@ -214,6 +214,9 @@ def main():
         "pct_of_floor": round(100 * floor_ms / step_ms, 1),
         "buckets": rows,
     }
+    from deepearth_tpu.utils.artifacts import round_stamp
+
+    result.update(round_stamp())
     out = (
         OUT
         if variant == "int8"
