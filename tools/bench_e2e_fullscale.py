@@ -154,6 +154,13 @@ def main():
                          "(--resume picks up where it stopped)")
     args = ap.parse_args()
 
+    # a resumed run once wedged silently for 25+ min in a futex wait with
+    # no stage output; dump all-thread stacks every 5 min so the next
+    # stall is diagnosable from the log
+    import faulthandler
+
+    faulthandler.dump_traceback_later(300, repeat=True, file=sys.stderr)
+
     import jax
 
     if args.cpu:
@@ -324,7 +331,9 @@ def main():
         return
 
     # -- 4) one training epoch through the PRE-POOLED store + prefetch ------- #
+    log("loading observations parquet...")
     ds = ObservationDataset.from_parquet(obs_path)
+    log(f"loaded {len(ds)} observations")
     cfg_ds = DatasetConfig(
         bbox=(BOUNDS["south"], BOUNDS["west"], BOUNDS["north"], BOUNDS["east"]),
         year_range=YEARS,
@@ -363,9 +372,11 @@ def main():
             sel = gbif[order[s * args.batch : (s + 1) * args.batch]]
             yield cache_pooled.get_training_batch(sel)
 
+    log("building first batch (language matrix) + init_state...")
     state = trainer.init_state(
         cache_pooled.get_training_batch(gbif[: args.batch])
     )
+    log("init_state done")
     # device-only rate: same jit step re-running on one resident batch
     import functools
 
@@ -414,6 +425,47 @@ def main():
         "final_loss": loss,
     }
     log(f"epoch: {result['epoch']}")
+    checkpoint()
+
+    # -- 4a0) streaming epoch with int8 wire compression --------------------- #
+    # Same producer, but vision/language go over the tunnel as int8 + fp16
+    # row scales (data/transfer.py) and dequantize in a jitted pass on
+    # device — halves the 4.4 MB/step H2D that bounds the streaming path.
+    from deepearth_tpu.data import device_prefetch_compressed
+
+    # warm OUTSIDE the timed region: fp16 dequant output matches the
+    # uncompressed path's leaf dtypes (a bf16 default would force a fresh
+    # step compile on the first timed batch), and the tiny dequant program
+    # itself compiles here.
+    warm_iter = device_prefetch_compressed(
+        iter([cache_pooled.get_training_batch(gbif[: args.batch])]),
+        dtype=jnp.float16,
+    )
+    state, m = step_fn(state, next(warm_iter), jax.random.PRNGKey(0))
+    float(np.asarray(m["loss/total"]))
+
+    t0 = time.time()
+    it_c = device_prefetch_compressed(
+        threaded_producer(epoch_batches, capacity=4), size=2,
+        dtype=jnp.float16,
+    )
+    n_done = 0
+    for batch in it_c:
+        state, m = step_fn(state, batch, jax.random.PRNGKey(n_done))
+        n_done += 1
+    loss_c = float(np.asarray(m["loss/total"]))
+    epoch_c_s = time.time() - t0
+    e2e_c = n_done * args.batch / epoch_c_s
+    result["epoch_streaming_compressed"] = {
+        "path": "pooled_store + int8 wire compression",
+        "steps": n_done, "batch": args.batch,
+        "wall_s": round(epoch_c_s, 1),
+        "e2e_obs_per_s": round(e2e_c, 1),
+        "device_only_obs_per_s": round(device_obs_s, 1),
+        "e2e_fraction_of_device_rate": round(e2e_c / device_obs_s, 3),
+        "final_loss": loss_c,
+    }
+    log(f"epoch_streaming_compressed: {result['epoch_streaming_compressed']}")
     checkpoint()
 
     # -- 4a) device-RESIDENT pooled epoch ------------------------------------- #
