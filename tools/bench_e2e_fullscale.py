@@ -654,7 +654,11 @@ def main():
     with open(args.out, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps(result))
-    if not args.keep:
+    # --resume implies the workdir is being iterated on; deleting it here
+    # once forced a 2.3-hour 46 GB rebuild on the next resume (and a
+    # mid-conversion timeout leaves a silently-partial store that the
+    # stage guard would then trust).
+    if not args.keep and not args.resume:
         shutil.rmtree(args.workdir, ignore_errors=True)
 
 
