@@ -397,11 +397,15 @@ def main():
     # sync — the CLAUDE.md donation lesson, hit live in this tool)
     state, m = step_fn(state, resident, jax.random.PRNGKey(0))
     float(np.asarray(m["loss/total"]))  # compile + sync
+    # K matched to the epoch length so the ~30 ms tunnel sync amortizes
+    # identically in numerator and denominator (K=8 understated the
+    # device rate ~30% and flattered every e2e fraction computed from it)
+    K_dev = max(n_steps, 32)
     t0 = time.time()
-    for i in range(8):
+    for i in range(K_dev):
         state, m = step_fn(state, resident, jax.random.PRNGKey(i))
     float(np.asarray(m["loss/total"]))
-    device_obs_s = 8 * args.batch / (time.time() - t0)
+    device_obs_s = K_dev * args.batch / (time.time() - t0)
 
     t0 = time.time()
     it = device_prefetch(threaded_producer(epoch_batches, capacity=4), size=2)
