@@ -255,6 +255,7 @@ class UnifiedDataCache:
         self._vision_cache = _LRU(self.cfg.cache_size)
         self._language_cache = _LRU(self.cfg.cache_size)
         self._lang_mat: Optional[np.ndarray] = None  # lazy, see below
+        self._lang_has: Optional[np.ndarray] = None
 
     # Stacked fp16 copy of the parquet language column. The per-row
     # ``col.iloc[r]`` loop is 24.25 of the ~30 ms B=256 batch assembly at
@@ -269,10 +270,13 @@ class UnifiedDataCache:
         if dim is None or len(col) * dim * 2 > max_bytes:
             return None
         mat = np.zeros((len(col), dim), np.float16)
+        has = np.zeros(len(col), bool)
         for i, v in enumerate(col):
             if v is not None:
                 mat[i] = v
+                has[i] = True
         self._lang_mat = mat
+        self._lang_has = has
         return mat
 
     def get_vision_embedding(self, gbif_id: int) -> Optional[np.ndarray]:
@@ -351,12 +355,20 @@ class UnifiedDataCache:
                 batch["modalities"]["language"] = lang
             elif "language_embedding" in self.dataset.df:
                 # reference schema: embeddings live in the observations
-                # parquet (see get_language_embedding)
-                mat = self._language_matrix()
+                # parquet (see get_language_embedding). Fast path only for
+                # fp16 requests (the matrix is stored fp16 — upcasting it
+                # would silently truncate a wider embedding_dtype ask), and
+                # only when at least one selected row HAS an embedding
+                # (parity with the loop path, which omits the key for an
+                # all-None batch).
+                mat = (
+                    self._language_matrix()
+                    if np.dtype(embedding_dtype) == np.float16
+                    else None
+                )
                 if mat is not None:
-                    batch["modalities"]["language"] = (
-                        mat[rows].astype(embedding_dtype, copy=False)
-                    )
+                    if bool(self._lang_has[rows].any()):
+                        batch["modalities"]["language"] = mat[rows]
                 else:
                     col = self.dataset.df["language_embedding"]
                     vals = [col.iloc[r] for r in rows]

@@ -126,6 +126,31 @@ class TestUnifiedCache:
         np.testing.assert_array_equal(lang[2], np.zeros(8))
         np.testing.assert_array_equal(lang[1], np.ones(8))
 
+    def test_language_matrix_semantics(self):
+        """The fp16 matrix fast path must match the loop path's contract:
+        an all-None selection omits the 'language' key, and a wider
+        embedding_dtype request bypasses the fp16 matrix."""
+        ds = make_dataset(6)
+        emb = [np.ones(8, np.float32) * i for i in range(6)]
+        emb[0] = emb[1] = None
+        ds.df["language_embedding"] = emb
+        cache = UnifiedDataCache(ds, DatasetConfig(), None, None)
+        ids = ds.df["gbif_id"].to_numpy()
+        # rows 0,1 are both None -> no language modality in that batch
+        b_none = cache.get_training_batch(ids[:2], include_vision=False)
+        assert "language" not in b_none["modalities"]
+        # mixed batch: fast path, zero-fill, fp16
+        b_mix = cache.get_training_batch(ids[1:4], include_vision=False)
+        lang = b_mix["modalities"]["language"]
+        assert lang.dtype == np.float16
+        np.testing.assert_array_equal(lang[0], np.zeros(8))
+        np.testing.assert_array_equal(lang[2], np.full(8, 3.0))
+        # wider dtype request honors the ask (loop path, float32 out)
+        b32 = cache.get_training_batch(
+            ids[2:4], include_vision=False, embedding_dtype=np.float32
+        )
+        assert b32["modalities"]["language"].dtype == np.float32
+
     def test_pooled_vision(self, tmp_path):
         ds = make_dataset(5)
         ids = ds.df["gbif_id"].to_numpy()[:5]

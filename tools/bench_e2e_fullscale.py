@@ -481,14 +481,18 @@ def main():
     # data_stall_fraction above) disappears. The 46 GB full-grid store can
     # never be resident; this is the pooled tier's end state, not a trick.
     t0 = time.time()
-    lang_mat = np.stack(
-        ds.df["language_embedding"].to_numpy()
-    ).astype(np.float16)
+    # reuse the fp16 matrix UnifiedDataCache already built for the stage-4
+    # batches (None-tolerant, no 966 MB fp32 np.stack intermediate)
+    lang_mat = cache_pooled._language_matrix()
+    assert lang_mat is not None, "language matrix unavailable"
     vis_mat = np.zeros((args.n_obs, VISION_SHAPE[-1]), np.float16)
     vrows = np.asarray([ds.row_for_id(int(i)) for i in vis_ids]).astype(int)
     pooled_rows, pfound = cache_pooled.vision_loader.get_batch(
         [int(i) for i in vis_ids], out_dtype=np.float16
     )
+    # a partial pooled store (e.g. resumed after a mid-conversion kill)
+    # returns zero rows + found=False — fail loudly, don't train on zeros
+    assert all(pfound), f"pooled store missing {sum(not f for f in pfound)} rows"
     vis_mat[vrows] = pooled_rows
     xyzt_mat = ds.normalized_xyzt(
         None, bbox=cfg_ds.bbox, year_range=cfg_ds.year_range
@@ -499,7 +503,11 @@ def main():
     xyzt_d, sp_d, vis_d, lang_d = (
         jax.device_put(a) for a in (xyzt_mat, sp_mat, vis_mat, lang_mat)
     )
-    float(np.asarray(lang_d[0, 0]))  # force the transfers to completion
+    # sync EVERY transfer (block_until_ready alone can return early over
+    # the tunnel; syncing only lang_d let the 95 MB vis_d transfer leak
+    # into downstream timings)
+    for a in (xyzt_d, sp_d, vis_d, lang_d):
+        float(np.asarray(a.reshape(-1)[0]))
     h2d_s = time.time() - t0
 
     base_step = make_train_step(model, cfg, LossWeights(contrastive=0.02))
@@ -515,6 +523,9 @@ def main():
         }
         return base_step(st, batch, key)
 
+    assert n_steps > 0, (
+        f"n_obs={args.n_obs} < batch={args.batch}: no steps to run"
+    )
     res_step = jax.jit(_resident_step, donate_argnums=(0,))
     idx0 = jnp.asarray(order[: args.batch].astype(np.int32))
     state, m = res_step(state, jax.random.PRNGKey(0), idx0,

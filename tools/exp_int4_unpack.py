@@ -1,5 +1,12 @@
 """Micro-bench: int4 weight-streaming GEMV variants at decode shapes.
 
+SUPERSEDED by tools/exp_int4_tiles.py — the wall-clock numbers here are
+dispatch/sync-floor noise (flat ~0.5 ms for 8-33 MB of weights), and the
+60-rep loop cycles 8 inputs so most calls repeat identical args, which
+the relay can serve from cache (CLAUDE.md). Kept for the negative
+results it established: Mosaic rejects int8-domain shifts, and the axon
+backend recurses on any S4-dtype dispatch.
+
 PROFILE_DECODE_OPS_INT4.json attributes 85.3% of the 3.37 ms B=1 decode
 step to the Pallas int4 kernels, which run at 1.70x their weight-stream
 time — the residual is the in-kernel nibble unpack (int32 widen + two
